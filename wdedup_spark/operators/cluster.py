@@ -1,0 +1,91 @@
+"""Connected components over the verified-pair graph (hash-to-min).
+
+Resolves duplicate pairs into clusters with the deterministic min-id
+representative — the reference's "lesser occurrence picked" rule
+(/root/reference/README.md:79-80, src/wfindfirst.cpp:48-57) lifted from
+words to conversations.
+
+Algorithm: hash-to-min label propagation.  Each node starts labeled with
+itself; each iteration every node takes the min label in its closed
+neighborhood; converges in O(diameter) rounds (duplicate-cluster graphs
+have tiny diameters once exact dups are pre-collapsed — SURVEY.md §7
+"hard parts").
+
+Scale notes:
+* each iteration is one groupBy exchange on node id — same partial/final
+  aggregate shape as the reference's O4/O6 stages;
+* ``localCheckpoint`` truncates lineage each round (iterative plans
+  otherwise grow exponentially in Catalyst);
+* convergence check is an aggregate (sum of changes), not a collect of
+  labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    a_col: str = "conv_a",
+    b_col: str = "conv_b",
+) -> DataFrame:
+    """edges(conv_a, conv_b) → (conv_id, cluster_id) for every node that
+    appears in an edge; cluster_id = min conv_id of the component."""
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min label over closed neighborhood: own label ∪ neighbors' labels
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias("conv_id"), F.col("label").alias("cluster_id"))
+
+
+def cluster_assignments(
+    all_ids: DataFrame,
+    edges: DataFrame,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Every id gets a cluster: components for nodes in the dup graph,
+    self-cluster (singleton) otherwise — left join, no second shuffle
+    structure beyond the CC output."""
+    comp = connected_components(edges)
+    return (
+        all_ids.select(F.col(id_col).alias("conv_id"))
+        .join(comp, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce(F.col("cluster_id"), F.col("conv_id")).alias("cluster_id"),
+        )
+    )

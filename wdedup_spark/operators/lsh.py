@@ -1,0 +1,112 @@
+"""LSH banding: signature → band buckets → candidate pairs.
+
+The graft's shuffle stage — the analog of the reference's merge tree
+(/root/reference/src/wmerge.cpp:54-156), except one hash exchange on the
+band key replaces all lg(N/M) merge levels (SURVEY.md §2 O6-O8).
+
+Scale design:
+* Banding is JVM-side (``xxhash64`` over signature slices) — no Python.
+* Candidate pairs are emitted per bucket via groupBy + bounded pair
+  expansion, NOT an unbounded self-equi-join: a bucket of m docs yields
+  m(m-1)/2 pairs only while m <= max_bucket; oversize buckets (boilerplate
+  floods) degrade to m-1 star edges around the min id — bounded output,
+  connectivity preserved for clustering (the reference's "collapse on
+  first collision" economy, src/wmerge.cpp:124-127).
+* Dedup of the same pair across bands is one ``distinct`` on (a, b) —
+  map-side partial aggregation absorbs most of it.
+* Skew: AQE skew-join is on (session.py); hot *conversations* are removed
+  earlier by exact dedup; hot *buckets* are bounded by the star policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_BANDS = 32
+DEFAULT_MAX_BUCKET = 256
+
+
+def band_buckets(
+    df: DataFrame,
+    sig_col: str = "sig",
+    id_col: str = "conv_id",
+    n_bands: int = DEFAULT_NUM_BANDS,
+    n_perms: int | None = None,
+) -> DataFrame:
+    """(id, sig[n_perms]) → (band, bucket, id) — one row per band.
+
+    bucket = xxhash64(band index, signature slice) computed JVM-side.
+    """
+    n_perms_val = n_perms
+    if n_perms_val is None:
+        # static from the first row is wrong at scale; require caller or infer lazily
+        raise ValueError("pass n_perms explicitly (signature width)")
+    rows = n_perms_val // n_bands
+    if rows * n_bands != n_perms_val:
+        raise ValueError(f"n_perms={n_perms_val} not divisible by n_bands={n_bands}")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.lit(b), F.slice(F.col(sig_col), b * rows + 1, rows)).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(bands).alias("bb")).select(
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id"
+    )
+
+
+def candidate_pairs(
+    banded: DataFrame,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    oversize_policy: str = "star",
+) -> DataFrame:
+    """band buckets → distinct candidate pairs (conv_a < conv_b).
+
+    oversize_policy for buckets with > max_bucket members:
+      "star" — emit m-1 edges to the bucket-min id (bounded, keeps
+               connectivity; pairwise similarity within the flood is
+               resolved transitively by the cluster stage)
+      "drop" — skip the bucket (recall loss, recorded by caller metrics)
+      "all"  — no cap (tests / small data)
+    """
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") > 1)
+    )
+    small = buckets if oversize_policy == "all" else buckets.filter(F.col("m") <= max_bucket)
+
+    pairs_small = (
+        small.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+
+    if oversize_policy == "star":
+        big = buckets.filter(F.col("m") > max_bucket)
+        pairs_big = (
+            big.select(F.col("ids")[0].alias("a"), F.explode("ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+        )
+        pairs = pairs_small.unionByName(pairs_big)
+    else:
+        pairs = pairs_small
+
+    return pairs.distinct().select(F.col("a").alias("conv_a"), F.col("b").alias("conv_b"))
+
+
+def minhash_lsh_candidates(
+    signed: DataFrame,
+    id_col: str = "conv_id",
+    sig_col: str = "sig",
+    n_perms: int = 128,
+    n_bands: int = DEFAULT_NUM_BANDS,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    oversize_policy: str = "star",
+) -> DataFrame:
+    banded = band_buckets(signed, sig_col, id_col, n_bands, n_perms)
+    return candidate_pairs(banded, max_bucket, oversize_policy)

@@ -1,0 +1,97 @@
+"""SimHash + Hamming-distance buckets — the second candidate generator.
+
+Catches character-level near-dups (fixture D2) whose shingle Jaccard is
+already high but which SimHash finds far cheaper: one 64-bit signature per
+document vs 128 lanes.
+
+Bucketing uses the pigeonhole principle: split the 64-bit signature into
+``d + 1`` chunks — two signatures within Hamming distance d agree on at
+least one chunk exactly.  Candidates = equal (chunk index, chunk value);
+the exact Hamming check is JVM-side ``bit_count(a XOR b) <= d`` — no
+Python in the verification of this path at all.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from wdedup_spark.functions import hashing
+from wdedup_spark.operators.lsh import candidate_pairs
+
+DEFAULT_HAMMING = 3
+
+
+def simhash_udf():
+    """text → 64-bit SimHash (LongType)."""
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        th = hashing.TokenHasher()
+        out = []
+        for t in texts:
+            toks = t.split() if t else []
+            out.append(hashing.to_i64(hashing.simhash(th.hash_tokens(toks))))
+        return pd.Series(out, dtype="int64")
+
+    return _simhash
+
+
+def add_simhash(df: DataFrame, text_col: str = "doc", out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, simhash_udf()(F.col(text_col)))
+
+
+def simhash_chunks(
+    df: DataFrame,
+    sim_col: str = "simhash",
+    id_col: str = "conv_id",
+    max_hamming: int = DEFAULT_HAMMING,
+) -> DataFrame:
+    """Explode each signature into d+1 pigeonhole chunks: (band, bucket, id).
+
+    Chunk extraction is pure JVM bit arithmetic (shiftrightunsigned/mask).
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                (
+                    F.shiftrightunsigned(F.col(sim_col), c * width)
+                    % F.lit(1 << width).cast("long")
+                ).alias("bucket"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("bb")).select(
+        "bb.band", "bb.bucket", "id"
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "doc",
+    id_col: str = "conv_id",
+    max_hamming: int = DEFAULT_HAMMING,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """→ (conv_a, conv_b) pairs with Hamming(simhash) <= max_hamming.
+
+    The pigeonhole buckets generate candidates; the exact distance filter
+    re-joins the two signatures and checks ``bit_count(xor) <= d``.
+    """
+    signed = add_simhash(df, text_col)
+    sigs = signed.select(F.col(id_col).alias("id"), "simhash")
+    cands = candidate_pairs(
+        simhash_chunks(signed, "simhash", id_col, max_hamming), max_bucket, "star"
+    )
+    return (
+        cands.join(sigs.withColumnRenamed("id", "conv_a").withColumnRenamed("simhash", "sh_a"), "conv_a")
+        .join(sigs.withColumnRenamed("id", "conv_b").withColumnRenamed("simhash", "sh_b"), "conv_b")
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= max_hamming)
+        .select("conv_a", "conv_b")
+    )

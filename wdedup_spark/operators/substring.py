@@ -1,0 +1,123 @@
+"""Exact long-substring duplicate pass (fixture D3) — winnowing anchors.
+
+The distributed replacement for a suffix-array scan: documents sharing a
+verbatim token span of length >= ``guarantee`` tokens share at least one
+*winnowing fingerprint* (Schleimer, Wilkerson, Aiken, "Winnowing: Local
+Algorithms for Document Fingerprinting", SIGMOD 2003).  Winnowing selects
+the min k-gram hash in every window of W consecutive k-grams — a
+content-defined, alignment-free sample with the guarantee
+``detectable span >= W + k - 1`` tokens.
+
+Pipeline shape mirrors the LSH path exactly (anchor = band bucket):
+  fingerprint (narrow, pandas UDF) → explode anchors → bucket groupBy →
+  candidate pairs → verify longest common token run (pandas UDF).
+
+vs a true distributed suffix array (per-partition suffix arrays + k-mer
+anchor join across partitions, SURVEY.md §2.1): winnowing gives the same
+cross-partition detection guarantee for spans >= W+k-1 with one shuffle
+and no O(n log n) per-partition construction; the trade-off is the span
+floor.  Verification is exact, so no false positives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+from wdedup_spark.functions import hashing
+from wdedup_spark.operators.lsh import candidate_pairs
+
+DEFAULT_KGRAM = 16
+DEFAULT_WINDOW = 48  # guarantee: spans >= 48+16-1 = 63 tokens are detected
+
+
+def winnow(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Distinct winnowing fingerprints of a token-hash sequence."""
+    grams = hashing.shingle_hashes_seq(token_h, k)
+    n = len(grams)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n <= w:
+        return np.unique(grams.min(keepdims=True))
+    # sliding-window minimum via stride trick (w windows are small; use
+    # numpy min over a strided view — O(n*w) worst case but w is constant)
+    view = np.lib.stride_tricks.sliding_window_view(grams, w)
+    return np.unique(view.min(axis=1))
+
+
+def fingerprint_udf(k: int = DEFAULT_KGRAM, w: int = DEFAULT_WINDOW):
+    @pandas_udf("array<long>")
+    def _fp(texts: pd.Series) -> pd.Series:
+        th = hashing.TokenHasher()
+        out = []
+        for t in texts:
+            toks = t.split() if t else []
+            out.append(hashing.to_i64(winnow(th.hash_tokens(toks), k, w)))
+        return pd.Series(out)
+
+    return _fp
+
+
+@pandas_udf(IntegerType())
+def common_run_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact longest common token run between two texts (token count).
+
+    Token-level DP on hashed tokens, numpy-vectorized per diagonal — the
+    per-pair verifier; at 100 TB this runs only on anchor-surviving pairs.
+    """
+    out = np.zeros(len(a), dtype=np.int32)
+    th = hashing.TokenHasher()
+    for i in range(len(a)):
+        ta = th.hash_tokens(a.iloc[i].split() if a.iloc[i] else [])
+        tb = th.hash_tokens(b.iloc[i].split() if b.iloc[i] else [])
+        if len(ta) == 0 or len(tb) == 0:
+            continue
+        # longest common substring over token hashes: row-rolling DP,
+        # vectorized over the row (O(len_a) numpy ops per row of b)
+        prev = np.zeros(len(ta), dtype=np.int32)
+        best = 0
+        for hb in tb:
+            eq = (ta == hb)
+            cur = np.zeros(len(ta), dtype=np.int32)
+            cur[eq] = 1
+            cur[1:][eq[1:]] += prev[:-1][eq[1:]]
+            m = cur.max() if len(cur) else 0
+            if m > best:
+                best = m
+            prev = cur
+        out[i] = best
+    return pd.Series(out, dtype="int32")
+
+
+def substring_candidates(
+    df: DataFrame,
+    text_col: str = "doc",
+    id_col: str = "conv_id",
+    k: int = DEFAULT_KGRAM,
+    w: int = DEFAULT_WINDOW,
+    min_span: int = 100,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """→ (conv_a, conv_b, common_run) for pairs sharing a verbatim token
+    span of >= min_span tokens (min_span must be >= w + k - 1)."""
+    fp = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("doc"),
+        fingerprint_udf(k, w)(F.col(text_col)).alias("anchors"),
+    )
+    anchored = fp.select("id", F.explode("anchors").alias("bucket")).withColumn(
+        "band", F.lit(0)
+    )
+    cands = candidate_pairs(anchored.select("band", "bucket", "id"), max_bucket, "star")
+    docs = fp.select("id", "doc")
+    verified = (
+        cands.join(docs.select(F.col("id").alias("conv_a"), F.col("doc").alias("doc_a")), "conv_a")
+        .join(docs.select(F.col("id").alias("conv_b"), F.col("doc").alias("doc_b")), "conv_b")
+        .withColumn("common_run", common_run_udf(F.col("doc_a"), F.col("doc_b")))
+        .filter(F.col("common_run") >= min_span)
+        .select("conv_a", "conv_b", "common_run")
+    )
+    return verified

@@ -1,0 +1,62 @@
+"""SparkSession factory for the dedup engine.
+
+Replaces the reference's hand-rolled resource management — the mmap'd
+working-memory arena (/root/reference/include/impl/wwmman.hpp:42-129) and
+4 KB buffered sequential I/O (/root/reference/src/wiobase.cpp:39-107) —
+with Tungsten memory management and columnar parquet scans.  The configs
+below are the scale levers discussed in SURVEY.md §4:
+
+* AQE on (coalesce + skew-join): subsumes the reference's DP merge
+  planner (src/wmpdp.cpp:83-99) — runtime re-planning over shuffle stats.
+* Arrow enabled: every custom kernel (shingle/minhash/simhash/verify) is
+  a vectorized pandas UDF; row-at-a-time Python never touches the hot path.
+* shuffle partitions sized to the local core count; on a real cluster this
+  is ``executors * cores * 2-3`` and AQE coalesces downward.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def spark_session(
+    app_name: str = "wdedup-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the dedup workload.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    On a real cluster this function is a no-op passthrough: spark-submit
+    supplies master/executors and these SQL confs remain correct.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.ansi.enabled", "false")  # wrap-around 64-bit hash arithmetic
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
