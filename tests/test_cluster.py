@@ -1,0 +1,52 @@
+"""Connected-components tests: hand-built graphs + oracle closure."""
+
+import pandas as pd
+
+from wdedup_spark import oracle
+from wdedup_spark.operators.cluster import cluster_assignments, connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pd.DataFrame(pairs, columns=["conv_a", "conv_b"]))
+
+
+def test_cc_basic_chain(spark):
+    # chain a-b-c-d plus isolated pair e-f
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")])
+    got = {r["conv_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
+
+
+def test_cc_long_path_converges(spark):
+    # path of 33 nodes — needs multiple hash-to-min iterations
+    n = 33
+    nodes = [f"n{i:03d}" for i in range(n)]
+    edges = _edges(spark, list(zip(nodes[:-1], nodes[1:])))
+    got = {r["conv_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {"n000"}
+    assert len(got) == n
+
+
+def test_cluster_assignments_singletons(spark):
+    all_ids = spark.createDataFrame(pd.DataFrame({"conv_id": ["a", "b", "c", "z"]}))
+    edges = _edges(spark, [("a", "b")])
+    got = {r["conv_id"]: r["cluster_id"] for r in cluster_assignments(all_ids, edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "z": "z"}
+
+
+def test_cc_matches_union_find_oracle(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ids = [f"v{i:03d}" for i in range(120)]
+    pairs = set()
+    while len(pairs) < 150:
+        a, b = rng.choice(120, 2, replace=False)
+        pairs.add((ids[min(a, b)], ids[max(a, b)]))
+    pairs = sorted(pairs)
+    edges = _edges(spark, pairs)
+    got = {r["conv_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    want = oracle.transitive_closure_min(
+        pd.DataFrame(pairs, columns=["conv_a", "conv_b"]), list(got.keys())
+    )
+    assert got == want

@@ -5,11 +5,12 @@ representative — the reference's "lesser occurrence picked" rule
 (/root/reference/README.md:79-80, src/wfindfirst.cpp:48-57) lifted from
 words to conversations.
 
-Algorithm: hash-to-min label propagation.  Each node starts labeled with
-itself; each iteration every node takes the min label in its closed
-neighborhood; converges in O(diameter) rounds (duplicate-cluster graphs
-have tiny diameters once exact dups are pre-collapsed — SURVEY.md §7
-"hard parts").
+Algorithm: hash-to-min label propagation with pointer jumping.  Each node
+starts labeled with itself; each round (1) takes the min label over its
+closed neighborhood, then (2) path-halves (label ← label of label) —
+converging in O(log n) rounds even on path graphs (duplicate-cluster
+graphs have tiny diameters anyway once exact dups are pre-collapsed —
+SURVEY.md §7 "hard parts").
 
 Scale notes:
 * each iteration is one groupBy exchange on node id — same partial/final
@@ -47,7 +48,7 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        # min label over closed neighborhood: own label ∪ neighbors' labels
+        # (1) propagate: min label over closed neighborhood
         neighbor_labels = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
             .select(F.col("src").alias("node"), "label")
@@ -56,6 +57,15 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # (2) pointer-jump (path halving): label(v) ← label(label(v)) —
+        # turns O(diameter) propagation into O(log n) total rounds
+        parent = new_labels.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        new_labels = (
+            new_labels.join(parent, "label", "left")
+            .select("node", F.coalesce("label2", "label").alias("label"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (

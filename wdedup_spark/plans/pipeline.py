@@ -1,0 +1,190 @@
+"""The end-to-end near-duplicate pipeline — the graft's ``main``.
+
+Orchestrates the checkpointed stage DAG (SURVEY.md §3):
+
+  assemble → exact → sign(shingle+MinHash+SimHash) → candidates
+  (LSH ∪ SimHash ∪ substring) → verify → cluster
+
+mirroring the reference's driver (/root/reference/src/main.cpp:208-222:
+wprof → wmerge → wfindfirst) with the stage ledger standing in for the
+WAL.  Every stage is resumable: rerunning after a crash skips committed
+stages (tests/test_resume.py is the F4 protocol).
+
+Scale architecture (the 100 TB story):
+* exact dedup FIRST — near-dup stages run on distinct documents only, so
+  boilerplate floods and giant exact-dup cliques never reach the LSH
+  shuffle (SURVEY.md §7 "hard parts": cliques collapse to single nodes);
+* sign-before-shuffle — candidates/verify exchange signatures and ids,
+  never documents; worst-case wide-stage row is ~1 KB regardless of
+  conversation length;
+* candidate pair volume is bounded per bucket (lsh.candidate_pairs
+  max_bucket + star policy), so one pathological bucket cannot explode
+  the verify stage;
+* each stage commits row counts / bytes / file lineage to the ledger —
+  the observability the reference gets from profile sizes in its WAL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wdedup_spark.operators.assemble import assemble_conversations
+from wdedup_spark.operators.cluster import cluster_assignments
+from wdedup_spark.operators.exact import add_fingerprint
+from wdedup_spark.operators.lsh import minhash_lsh_candidates
+from wdedup_spark.operators.minhash import add_minhash, add_shingles
+from wdedup_spark.operators.simhash import add_simhash, simhash_chunks
+from wdedup_spark.operators.lsh import candidate_pairs as _candidate_pairs
+from wdedup_spark.operators.substring import fingerprint_udf, common_run_udf
+from wdedup_spark.operators.verify import verify_pairs
+from wdedup_spark.sources.ledger import StageLedger
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    k: int = 3                    # shingle width (tokens)
+    n_perms: int = 128            # MinHash lanes
+    n_bands: int = 32             # LSH bands (rows = n_perms // n_bands)
+    threshold: float = 0.8        # verified Jaccard threshold
+    seed: int = 42
+    enable_simhash: bool = True
+    max_hamming: int = 3
+    enable_substring: bool = True
+    substring_k: int = 16
+    substring_w: int = 48
+    substring_min_span: int = 100  # tokens of verbatim overlap
+    max_bucket: int = 256
+    oversize_policy: str = "star"
+
+    def fence(self) -> str:
+        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    turns: DataFrame,
+    workdir: str,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full dedup pipeline; returns the named stage
+    outputs, all backed by committed parquet."""
+    ledger = StageLedger(workdir, config_fence=cfg.fence())
+
+    # -- stage 1: assemble (one shuffle on conv_id) ---------------------------
+    conv = ledger.run(spark, "assemble", lambda: assemble_conversations(turns))
+
+    # -- stage 2: exact dedup (shuffle on 32-byte digest) ---------------------
+    def _exact() -> DataFrame:
+        fp = add_fingerprint(conv, "doc")
+        return fp.groupBy("fp").agg(
+            F.min("conv_id").alias("rep_id"),
+            F.sort_array(F.collect_list("conv_id")).alias("members"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+
+    exact = ledger.run(spark, "exact", _exact)
+    exact_edges = (
+        exact.filter(F.col("n_members") > 1)
+        .select(F.col("rep_id").alias("conv_a"), F.explode("members").alias("conv_b"))
+        .filter(F.col("conv_a") != F.col("conv_b"))
+    )
+    # near-dup stages see one representative per distinct document
+    reps = exact.select(F.col("rep_id").alias("conv_id"), "fp").join(
+        add_fingerprint(conv, "doc").select("conv_id", "doc", "fp"), ["conv_id", "fp"]
+    ).select("conv_id", "doc")
+
+    # -- stage 3: sign (narrow, vectorized pandas UDFs) -----------------------
+    def _sign() -> DataFrame:
+        df = add_shingles(reps, "doc", cfg.k)
+        df = add_minhash(df, "shingles", cfg.n_perms, cfg.seed)
+        if cfg.enable_simhash:
+            df = add_simhash(df, "doc")
+        if cfg.enable_substring:
+            df = df.withColumn(
+                "anchors", fingerprint_udf(cfg.substring_k, cfg.substring_w)(F.col("doc"))
+            )
+        return df.drop("doc")
+
+    signed = ledger.run(spark, "sign", _sign)
+
+    # -- stage 4: candidates (the shuffle stages) ------------------------------
+    def _candidates() -> DataFrame:
+        cands = minhash_lsh_candidates(
+            signed, n_perms=cfg.n_perms, n_bands=cfg.n_bands,
+            max_bucket=cfg.max_bucket, oversize_policy=cfg.oversize_policy,
+        ).withColumn("via", F.lit("minhash"))
+        if cfg.enable_simhash:
+            sim_banded = simhash_chunks(signed, "simhash", "conv_id", cfg.max_hamming)
+            sim_cands = _candidate_pairs(sim_banded, cfg.max_bucket, cfg.oversize_policy)
+            sigs = signed.select(F.col("conv_id").alias("id"), "simhash")
+            sim_cands = (
+                sim_cands.join(
+                    sigs.select(F.col("id").alias("conv_a"), F.col("simhash").alias("sh_a")), "conv_a"
+                )
+                .join(sigs.select(F.col("id").alias("conv_b"), F.col("simhash").alias("sh_b")), "conv_b")
+                .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= cfg.max_hamming)
+                .select("conv_a", "conv_b")
+                .withColumn("via", F.lit("simhash"))
+            )
+            cands = cands.unionByName(sim_cands)
+        if cfg.enable_substring:
+            anchored = signed.select(
+                F.col("conv_id").alias("id"), F.explode("anchors").alias("bucket")
+            ).withColumn("band", F.lit(0))
+            sub_cands = _candidate_pairs(
+                anchored.select("band", "bucket", "id"), cfg.max_bucket, cfg.oversize_policy
+            ).withColumn("via", F.lit("substring"))
+            cands = cands.unionByName(sub_cands)
+        return cands.groupBy("conv_a", "conv_b").agg(
+            F.sort_array(F.collect_set("via")).alias("via")
+        )
+
+    cands = ledger.run(spark, "candidates", _candidates)
+
+    # -- stage 5: verify (exact Jaccard; substring pairs get exact LCS) -------
+    def _verify() -> DataFrame:
+        jac = verify_pairs(
+            cands.select("conv_a", "conv_b"), signed, threshold=cfg.threshold
+        ).withColumn("via", F.lit("jaccard"))
+        out = jac
+        if cfg.enable_substring:
+            sub = cands.filter(F.array_contains("via", "substring")).select("conv_a", "conv_b")
+            docs = reps.select(F.col("conv_id").alias("id"), "doc")
+            sub_ok = (
+                sub.join(docs.select(F.col("id").alias("conv_a"), F.col("doc").alias("doc_a")), "conv_a")
+                .join(docs.select(F.col("id").alias("conv_b"), F.col("doc").alias("doc_b")), "conv_b")
+                .withColumn("common_run", common_run_udf(F.col("doc_a"), F.col("doc_b")))
+                .filter(F.col("common_run") >= cfg.substring_min_span)
+                .select("conv_a", "conv_b", F.lit(None).cast("double").alias("jaccard"))
+                .withColumn("via", F.lit("substring"))
+            )
+            out = jac.unionByName(sub_ok)
+        return out.groupBy("conv_a", "conv_b").agg(
+            F.max("jaccard").alias("jaccard"), F.sort_array(F.collect_set("via")).alias("via")
+        )
+
+    verified = ledger.run(spark, "verify", _verify)
+
+    # -- stage 6: cluster (iterative hash-to-min CC) ---------------------------
+    def _cluster() -> DataFrame:
+        edges = verified.select("conv_a", "conv_b").unionByName(
+            exact_edges.select("conv_a", "conv_b")
+        )
+        return cluster_assignments(conv.select("conv_id"), edges)
+
+    clusters = ledger.run(spark, "cluster", _cluster)
+
+    return {
+        "conv": conv,
+        "exact": exact,
+        "signed": signed,
+        "candidates": cands,
+        "verified": verified,
+        "clusters": clusters,
+        "ledger": ledger,
+    }
