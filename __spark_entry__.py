@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline extensions) over the driver's parquet tables;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.  Column names and
+value rounding are aligned on both sides so the driver's order-insensitive
+value-hash matches.
+
+Shingle/Jaccard config used throughout: k=3 word shingles, MinHash 128
+perms / 32 bands, verify threshold 0.8 (the documents tables plant 25
+near-dup pairs at jaccard >= 0.9, cleanly separated from the <0.1 tail,
+so LSH recall is deterministic-in-practice at this config: miss prob
+< 1e-15 per pair).
 """
 
 from __future__ import annotations
@@ -12,27 +18,502 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# k=3 shingles as SQL (both engines see identical shingle *strings*; Spark
+# hashes them — set sizes and intersections are identical modulo 64-bit
+# hash collisions, absent at this scale)
+K = 3
+N_PERMS = 128
+N_BANDS = 32
+JACCARD_T = 0.8
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# wdedup word semantics (SURVEY.md §2 O2/O4/O6/O9/O10)
+# --------------------------------------------------------------------------
+
+def q_word_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wdedup_spark.operators import wdedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return wdedup.word_profile(wdedup.tokenize(docs)).select(
+        "word", F.col("n").cast("long").alias("n"), F.col("first_ord").alias("first_ord")
+    )
+
+
+def q_find_first_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wfindfirst: first word that never repeats (may be empty — the
+    reference prints \"\" then, src/wfindfirst.cpp:44,59)."""
+    from wdedup_spark.operators import wdedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return wdedup.word_dedup_pipeline(docs)
+
+
+def q_singular_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 singleton filter over the word profile."""
+    from wdedup_spark.operators import wdedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return wdedup.singular_filter(wdedup.word_profile(wdedup.tokenize(docs))).select(
+        "word", "first_ord"
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup over documents
+# --------------------------------------------------------------------------
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wdedup_spark.operators.exact import exact_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        exact_dup_clusters(docs, "text", "doc_id")
+        .select(
+            F.col("rep_id").cast("long").alias("rep_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wdedup_spark.operators.lsh import minhash_lsh_candidates
+    from wdedup_spark.operators.minhash import add_minhash, add_shingles
+    from wdedup_spark.operators.verify import verify_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
+    )
+    shingled = add_shingles(docs, "doc", K)
+    signed = add_minhash(shingled, "shingles", N_PERMS)
+    cands = minhash_lsh_candidates(signed, n_perms=N_PERMS, n_bands=N_BANDS,
+                                   oversize_policy="all")
+    return verify_pairs(cands, shingled, threshold=JACCARD_T)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _verified_pairs(spark, sf_dir)
+    return v.select(
+        F.col("conv_a").cast("long").alias("doc_a"),
+        F.col("conv_b").cast("long").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact 3-shingle Jaccard >= 0.5 over a bounded id range —
+    the O(n²) baseline the LSH path approximates.  JVM-side set algebra
+    (array_intersect), no UDF."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = F.split(F.col("text"), r"\s+")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - K, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, K)
+            ),
+        )
+    )
+    d = docs.select(F.col("doc_id"), sh.alias("sh"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over verified pairs; every
+    doc gets a cluster (min doc_id representative)."""
+    from wdedup_spark.operators.cluster import cluster_assignments
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id")
+    )
+    edges = _verified_pairs(spark, sf_dir).select("conv_a", "conv_b")
+    return cluster_assignments(docs, edges).select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 candidate pairs (rows-only check: SimHash is not
+    SQL-expressible)."""
+    from wdedup_spark.operators.simhash import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
+    )
+    return simhash_candidates(docs, "doc", "conv_id", max_hamming=3).select(
+        F.col("conv_a").cast("long").alias("doc_a"),
+        F.col("conv_b").cast("long").alias("doc_b"),
+    )
+
+
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-anchored exact long-substring pairs (rows-only check)."""
+    from wdedup_spark.operators.substring import substring_candidates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
+    )
+    return substring_candidates(
+        docs, "doc", "conv_id", k=8, w=16, min_span=23, max_bucket=512
+    ).select(
+        F.col("conv_a").cast("long").alias("doc_a"),
+        F.col("conv_b").cast("long").alias("doc_b"),
+        F.col("common_run").cast("int").alias("common_run"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wdedup_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.char_count("text").cast("long").alias("n_chars_actual"),
+        F.round(tx.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
+        F.round(tx.quality_score("text"), 6).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wdedup_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(tx.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wdedup_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wdedup_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+# --------------------------------------------------------------------------
+# events: windowed aggregation + sessionization
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user: window lag +
+    cumulative session counter."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    sess = ev.withColumn(
+        "new_sess", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    ).withColumn("session_no", F.sum("new_sess").over(w))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational: broadcast/shuffle join + agg (scale-pattern showcase)
+# --------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (partial-agg friendly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash/LSH verified near-dup pairs on sf0.001."""
+    return q_minhash_lsh_pairs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "word_profile": q_word_profile,
+        "find_first_unique": q_find_first_unique,
+        "singular_words": q_singular_words,
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "substring_pairs": q_substring_pairs,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_topk": q_ann_topk,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "revenue_by_nation": q_revenue_by_nation,
+        "pricing_summary": q_pricing_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SHINGLES_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(t) - {K}, 0) + 1),
+           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         )) AS s
+  FROM toks
+)
+"""
+
+_WORDS_CTE = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\\s+')) AS word,
+         unnest(range(len(string_split_regex(text, '\\s+')))) AS pos
+  FROM documents
+), w AS (
+  SELECT word, doc_id * 1048576 + pos AS ord FROM words WHERE word <> ''
+), profile AS (
+  SELECT word, count(*)::BIGINT AS n, min(ord) AS first_ord FROM w GROUP BY word
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["word_profile"] = _WORDS_CTE + "SELECT word, n, first_ord FROM profile"
+
+    sql["find_first_unique"] = _WORDS_CTE + (
+        "SELECT word, first_ord FROM profile WHERE n = 1 ORDER BY first_ord LIMIT 1"
+    )
+
+    sql["singular_words"] = _WORDS_CTE + "SELECT word, first_ord FROM profile WHERE n = 1"
+
+    sql["exact_dup_clusters"] = """
+        SELECT min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_members
+        FROM documents GROUP BY text
     """
-    return {}
+
+    pair_jaccard = _SHINGLES_CTE + """
+        , pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE /
+                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+    """
+    sql["minhash_lsh_pairs"] = pair_jaccard + f"SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_T}"
+
+    sql["ngram_jaccard_pairs"] = pair_jaccard.replace("FROM documents", "FROM documents WHERE doc_id < 500") + (
+        "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5"
+    )
+
+    sql["dedup_clusters"] = pair_jaccard.replace("WITH toks", "WITH RECURSIVE toks") + f"""
+        , edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= {JACCARD_T}
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs WHERE jaccard >= {JACCARD_T}
+        ), closure AS (
+          SELECT doc_id AS node, doc_id AS comp FROM documents
+          UNION
+          SELECT e.dst AS node, c.comp
+          FROM closure c JOIN edges e ON e.src = c.node
+          WHERE c.comp < e.dst
+        )
+        SELECT node::BIGINT AS doc_id, min(comp)::BIGINT AS cluster_id
+        FROM closure GROUP BY node
+    """
+
+    sql["token_stats"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+                 len(text) AS n_chars_actual
+          FROM documents
+        )
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               n_chars_actual::BIGINT AS n_chars_actual,
+               round(CASE WHEN len(toks) > 0
+                     THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 1.0 END, 6) AS distinct_ratio,
+               round(least(len(toks)::DOUBLE / 50.0, 1.0) * 0.5 +
+                     (CASE WHEN len(toks) > 0
+                      THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 1.0 END) * 0.5, 6) AS quality
+        FROM t
+    """
+
+    en = "['the','a','of','and','to','in','is','it','that','for']"
+    es = "['el','la','de','que','y','en','un','una','por','con']"
+    de = "['der','die','das','und','ist','von','ein','mit','zu','den']"
+    fr = "['le','la','de','et','est','un','une','dans','pour','que']"
+    sql["lang_id"] = f"""
+        WITH t AS (
+          SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), scores AS (
+          SELECT len(list_filter(toks, x -> list_contains({en}, x))) AS h_en,
+                 len(list_filter(toks, x -> list_contains({es}, x))) AS h_es,
+                 len(list_filter(toks, x -> list_contains({de}, x))) AS h_de,
+                 len(list_filter(toks, x -> list_contains({fr}, x))) AS h_fr
+          FROM t
+        ), pred AS (
+          SELECT CASE
+            WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+          FROM scores
+        )
+        SELECT lang_pred, count(*)::BIGINT AS n_docs FROM pred GROUP BY lang_pred
+    """
+
+    sql["doc_fingerprint"] = """
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    """
+
+    sql["ann_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS score
+          FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank::INT AS rank FROM ranked WHERE rank <= 5
+    """
+
+    sql["events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["events_sessions"] = """
+        WITH lagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+          FROM lagged
+        )
+        SELECT user_id, session_no, count(*)::BIGINT AS n_events, min(ts) AS session_start
+        FROM sess GROUP BY user_id, session_no
+    """
+
+    sql["revenue_by_nation"] = """
+        SELECT n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+    sql["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    # simhash_pairs / substring_pairs: deliberately omitted — SimHash bit
+    # majorities and winnowing anchor selection are not SQL-expressible;
+    # the driver records the weaker rows-only check for them.
+    return sql
