@@ -1,0 +1,68 @@
+"""ANN tests: brute-force exactness vs numpy oracle; LSH-bucketed recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
+
+from wdedup_spark.operators.ann import brute_force_topk, lsh_bucketed_topk
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    # 8 well-separated centroids with 25 points each → meaningful neighbors
+    cents = rng.standard_normal((8, DIM)) * 4
+    vecs = []
+    for i in range(200):
+        c = cents[i % 8]
+        vecs.append((c + rng.standard_normal(DIM) * 0.3).astype(np.float32))
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ])
+    df = spark.createDataFrame(pdf, schema=schema)
+    return df.localCheckpoint(eager=True), np.stack(vecs).astype(np.float64)
+
+
+def _numpy_topk(mat, qids, k):
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for q in qids:
+        scores = mat @ mat[q] / (norms * norms[q])
+        scores[q] = -np.inf
+        order = np.lexsort((np.arange(len(mat)), -scores))
+        out[q] = list(order[:k])
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    df, mat = emb
+    queries = df.filter("vec_id < 5")
+    got = brute_force_topk(df, queries, k=5).collect()
+    want = _numpy_topk(mat, range(5), 5)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["score"]))
+    for q in range(5):
+        ranked = [n for _, n, _ in sorted(by_q[q])]
+        assert ranked == want[q], f"query {q}: {ranked} != {want[q]}"
+        for _, n, s in by_q[q]:
+            true = float(mat[q] @ mat[n] / (np.linalg.norm(mat[q]) * np.linalg.norm(mat[n])))
+            assert abs(s - true) < 1e-6
+
+
+def test_lsh_bucketed_recall(spark, emb):
+    df, mat = emb
+    queries = df.filter("vec_id < 20")
+    approx = lsh_bucketed_topk(df, queries, dim=DIM, k=5, n_bits=8)
+    want = _numpy_topk(mat, range(20), 5)
+    by_q = {}
+    for r in approx.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # multi-probe LSH over clustered data: recall@5 well above random
+    hits = sum(len(by_q.get(q, set()) & set(want[q])) for q in range(20))
+    assert hits / (20 * 5) >= 0.6, f"LSH recall {hits / 100}"

@@ -45,7 +45,7 @@ def connected_components(
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         # (1) propagate: min label over closed neighborhood
@@ -67,7 +67,9 @@ def connected_components(
             new_labels.join(parent, "label", "left")
             .select("node", F.coalesce("label2", "label").alias("label"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence-check action below materializes
+        # it, truncating lineage with ONE job per iteration instead of two
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

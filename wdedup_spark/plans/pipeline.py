@@ -83,6 +83,7 @@ def run_pipeline(
         fp = add_fingerprint(conv, "doc")
         return fp.groupBy("fp").agg(
             F.min("conv_id").alias("rep_id"),
+            F.min("doc").alias("doc"),  # all docs in an fp-group are identical
             F.sort_array(F.collect_list("conv_id")).alias("members"),
             F.count(F.lit(1)).alias("n_members"),
         )
@@ -94,9 +95,7 @@ def run_pipeline(
         .filter(F.col("conv_a") != F.col("conv_b"))
     )
     # near-dup stages see one representative per distinct document
-    reps = exact.select(F.col("rep_id").alias("conv_id"), "fp").join(
-        add_fingerprint(conv, "doc").select("conv_id", "doc", "fp"), ["conv_id", "fp"]
-    ).select("conv_id", "doc")
+    reps = exact.select(F.col("rep_id").alias("conv_id"), "doc")
 
     # -- stage 3: sign (narrow, vectorized pandas UDFs) -----------------------
     def _sign() -> DataFrame:

@@ -80,12 +80,16 @@ class StageLedger:
         df.write.mode("overwrite").parquet(out)
         wall = time.time() - t0
         result = spark.read.parquet(out)
-        rows = result.count()
-        files = [
-            {"file": fn_, "bytes": os.path.getsize(os.path.join(out, fn_))}
-            for fn_ in sorted(os.listdir(out))
-            if fn_.endswith(".parquet")
-        ]
+        # row count + per-file lineage from parquet footers (no Spark job)
+        import pyarrow.parquet as pq
+
+        rows = 0
+        files = []
+        for fn_ in sorted(os.listdir(out)):
+            if fn_.endswith(".parquet"):
+                p = os.path.join(out, fn_)
+                rows += pq.ParquetFile(p).metadata.num_rows
+                files.append({"file": fn_, "bytes": os.path.getsize(p)})
         entry = {
             "stage": stage,
             "rows": rows,
