@@ -62,34 +62,52 @@ def fingerprint_udf(k: int = DEFAULT_KGRAM, w: int = DEFAULT_WINDOW):
     return _fp
 
 
+def _common_run(ta: np.ndarray, tb: np.ndarray, k: int) -> int:
+    """Longest common token run (>= k tokens) via k-gram seed chaining.
+
+    Exact for runs of length >= k: a common substring of L tokens is a
+    run of L-k+1 consecutive matching k-grams, tracked per diagonal in
+    O(#gram-matches) — the seed-and-extend idea (BLAST-style) instead of
+    O(n·m) DP.  Runs shorter than k tokens report 0 (callers use
+    min_span >> k).  Cheap upper-bound pre-filter: |shared distinct
+    grams| + k - 1 bounds the best possible run.
+    """
+    if len(ta) == 0 or len(tb) == 0:
+        return 0
+    kk = min(k, len(ta), len(tb))
+    ga = hashing.shingle_hashes_seq(ta, kk)
+    gb = hashing.shingle_hashes_seq(tb, kk)
+    shared = np.intersect1d(np.unique(ga), np.unique(gb))
+    if len(shared) == 0:
+        return 0
+    # positions of shared grams only (bounds the match set)
+    pos_a: dict[int, list[int]] = {}
+    sset = set(shared.tolist())
+    for i, g in enumerate(ga.tolist()):
+        if g in sset:
+            pos_a.setdefault(g, []).append(i)
+    best = 0
+    prev: dict[int, int] = {}  # i -> consecutive-match run ending at (i, j-1)
+    for j, g in enumerate(gb.tolist()):
+        cur: dict[int, int] = {}
+        for i in pos_a.get(g, ()):
+            cur[i] = prev.get(i - 1, 0) + 1
+            if cur[i] > best:
+                best = cur[i]
+        prev = cur
+    return best + kk - 1 if best else 0
+
+
 @pandas_udf(IntegerType())
 def common_run_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Exact longest common token run between two texts (token count).
-
-    Token-level DP on hashed tokens, numpy-vectorized per diagonal — the
-    per-pair verifier; at 100 TB this runs only on anchor-surviving pairs.
-    """
+    """Longest common token run between two texts (exact for runs >= the
+    seed width; see _common_run).  Runs only on anchor-surviving pairs."""
     out = np.zeros(len(a), dtype=np.int32)
     th = hashing.TokenHasher()
     for i in range(len(a)):
         ta = th.hash_tokens(a.iloc[i].split() if a.iloc[i] else [])
         tb = th.hash_tokens(b.iloc[i].split() if b.iloc[i] else [])
-        if len(ta) == 0 or len(tb) == 0:
-            continue
-        # longest common substring over token hashes: row-rolling DP,
-        # vectorized over the row (O(len_a) numpy ops per row of b)
-        prev = np.zeros(len(ta), dtype=np.int32)
-        best = 0
-        for hb in tb:
-            eq = (ta == hb)
-            cur = np.zeros(len(ta), dtype=np.int32)
-            cur[eq] = 1
-            cur[1:][eq[1:]] += prev[:-1][eq[1:]]
-            m = cur.max() if len(cur) else 0
-            if m > best:
-                best = m
-            prev = cur
-        out[i] = best
+        out[i] = _common_run(ta, tb, DEFAULT_KGRAM)
     return pd.Series(out, dtype="int32")
 
 

@@ -132,8 +132,6 @@ def generate_transcripts(
         next_id += 1
         return cid
 
-    shared_span = " ".join(_zipf_text(rng, vocab, 240))  # D3 verbatim span
-
     for d in range(n_dup):
         cls = dup_classes[d % len(dup_classes)]
         src = int(rng.integers(0, n_base))
@@ -161,6 +159,8 @@ def generate_transcripts(
             pairs.append((src_id, cid, "D2"))
         elif cls == "D3":
             # two fresh conversations sharing one long verbatim span
+            # (a fresh span per instance — D3 pairs are independent)
+            shared_span = " ".join(_zipf_text(rng, vocab, 240))
             cid2 = take_id()
             for c in (cid, cid2):
                 n_turns = int(rng.integers(min_turns, max_turns + 1))
