@@ -1,0 +1,83 @@
+"""spark-submit entry point (the reference's CLI, src/wcli.cpp:77-198).
+
+Two subcommands:
+
+  dedup      — the transcript near-dup pipeline:
+               spark-submit --py-files wdedup_spark.zip -m wdedup_spark.cli \\
+                 dedup --input turns.parquet --workdir /work --threshold 0.8
+  findfirst  — wdedup parity: first non-repeated word of a text file:
+               ... findfirst --input big.txt
+
+Debug-stage flags mirror the reference's --wprof-only/--wmerge-only
+(src/wcli.cpp:115-125): --stop-after <stage> commits up to that stage and
+exits, leaving outputs inspectable; a later run resumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+STAGES = ["assemble", "exact", "sign", "candidates", "verify", "cluster"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="wdedup-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="near-duplicate pipeline over transcript turns")
+    d.add_argument("--input", required=True, help="turns table: parquet path or Iceberg name")
+    d.add_argument("--workdir", required=True, help="stage-output / ledger directory")
+    d.add_argument("--k", type=int, default=3)
+    d.add_argument("--n-perms", type=int, default=128)
+    d.add_argument("--n-bands", type=int, default=32)
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--seed", type=int, default=42)
+    d.add_argument("--max-bucket", type=int, default=256)
+    d.add_argument("--no-simhash", action="store_true")
+    d.add_argument("--no-substring", action="store_true")
+    d.add_argument("--min-span", type=int, default=100)
+    d.add_argument("--stop-after", choices=STAGES, default=None,
+                   help="debug: commit stages up to this one, then exit")
+    d.add_argument("--no-gc", action="store_true",
+                   help="keep all intermediate stage outputs (reference --disable-gc)")
+
+    f = sub.add_parser("findfirst", help="wdedup parity: first unique word of a text file")
+    f.add_argument("--input", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from wdedup_spark.session import spark_session
+
+    spark = spark_session(app_name=f"wdedup-{args.cmd}")
+
+    if args.cmd == "findfirst":
+        from wdedup_spark.sources.io import find_first_unique_word_in_file
+
+        print(find_first_unique_word_in_file(spark, args.input))
+        return 0
+
+    from wdedup_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from wdedup_spark.sources.io import read_turns
+
+    cfg = PipelineConfig(
+        k=args.k, n_perms=args.n_perms, n_bands=args.n_bands,
+        threshold=args.threshold, seed=args.seed, max_bucket=args.max_bucket,
+        enable_simhash=not args.no_simhash, enable_substring=not args.no_substring,
+        substring_min_span=args.min_span,
+    )
+    turns = read_turns(spark, args.input)
+    out = run_pipeline(
+        spark, turns, args.workdir, cfg,
+        stop_after=args.stop_after, gc=not args.no_gc,
+    )
+    ledger = out["ledger"]
+    print(json.dumps({"stages": ledger.metrics()}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

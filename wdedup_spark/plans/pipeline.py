@@ -70,13 +70,29 @@ def run_pipeline(
     turns: DataFrame,
     workdir: str,
     cfg: PipelineConfig = PipelineConfig(),
+    stop_after: str | None = None,
+    gc: bool = False,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full dedup pipeline; returns the named stage
-    outputs, all backed by committed parquet."""
+    outputs, all backed by committed parquet.
+
+    ``stop_after`` commits stages up to the named one then returns (the
+    reference's --wprof-only/--wmerge-only debug staging,
+    /root/reference/src/wcli.cpp:115-125).  ``gc`` reclaims intermediate
+    outputs (sign, candidates) once the final stage commits (O14,
+    src/wmerge.cpp:141-144); resumed runs then skip straight to the
+    surviving outputs."""
     ledger = StageLedger(workdir, config_fence=cfg.fence())
+    out: dict = {"ledger": ledger}
+
+    def done(stage: str) -> bool:
+        return stop_after == stage
 
     # -- stage 1: assemble (one shuffle on conv_id) ---------------------------
     conv = ledger.run(spark, "assemble", lambda: assemble_conversations(turns))
+    out["conv"] = conv
+    if done("assemble"):
+        return out
 
     # -- stage 2: exact dedup (shuffle on 32-byte digest) ---------------------
     def _exact() -> DataFrame:
@@ -89,6 +105,9 @@ def run_pipeline(
         )
 
     exact = ledger.run(spark, "exact", _exact)
+    out["exact"] = exact
+    if done("exact"):
+        return out
     exact_edges = (
         exact.filter(F.col("n_members") > 1)
         .select(F.col("rep_id").alias("conv_a"), F.explode("members").alias("conv_b"))
@@ -110,6 +129,9 @@ def run_pipeline(
         return df.drop("doc")
 
     signed = ledger.run(spark, "sign", _sign)
+    out["signed"] = signed
+    if done("sign"):
+        return out
 
     # -- stage 4: candidates (the shuffle stages) ------------------------------
     def _candidates() -> DataFrame:
@@ -144,6 +166,9 @@ def run_pipeline(
         )
 
     cands = ledger.run(spark, "candidates", _candidates)
+    out["candidates"] = cands
+    if done("candidates"):
+        return out
 
     # -- stage 5: verify (exact Jaccard; substring pairs get exact LCS) -------
     def _verify() -> DataFrame:
@@ -168,6 +193,9 @@ def run_pipeline(
         )
 
     verified = ledger.run(spark, "verify", _verify)
+    out["verified"] = verified
+    if done("verify"):
+        return out
 
     # -- stage 6: cluster (iterative hash-to-min CC) ---------------------------
     def _cluster() -> DataFrame:
@@ -177,13 +205,12 @@ def run_pipeline(
         return cluster_assignments(conv.select("conv_id"), edges)
 
     clusters = ledger.run(spark, "cluster", _cluster)
+    out["clusters"] = clusters
 
-    return {
-        "conv": conv,
-        "exact": exact,
-        "signed": signed,
-        "candidates": cands,
-        "verified": verified,
-        "clusters": clusters,
-        "ledger": ledger,
-    }
+    if gc:
+        # reclaim intermediates whose consumers are all committed (O14):
+        # sign feeds candidates+verify; candidates feeds verify
+        ledger.gc("sign")
+        ledger.gc("candidates")
+
+    return out

@@ -1,0 +1,72 @@
+"""Input/output layer — the graft's O1/O11 (SURVEY.md §2).
+
+The reference reads one large text file sequentially with 4 KB buffers
+(/root/reference/include/wio.hpp:87-173, src/wiobase.cpp:39-107) and
+writes sorted profile files (src/wpflsimple.cpp:34-80).  Here: columnar
+sources with split-level parallelism; Iceberg when a catalog is
+configured, parquet otherwise (this sandbox has no Iceberg runtime jar —
+the code path is gated, not assumed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True if an Iceberg catalog is configured and loadable."""
+    try:
+        return bool(spark.conf.get("spark.sql.catalog.spark_catalog", None)) or any(
+            k.startswith("spark.sql.catalog.") for k in ("spark.sql.catalog.local",)
+            if spark.conf.get(k, None)
+        )
+    except Exception:
+        return False
+
+
+def read_turns(spark: SparkSession, source: str) -> DataFrame:
+    """Read the transcript turns table: an Iceberg table name
+    (``catalog.db.tbl``) when a catalog is configured, else a parquet path."""
+    if "/" not in source and iceberg_available(spark):
+        return spark.read.format("iceberg").load(source)
+    return spark.read.parquet(source)
+
+
+def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
+    """Write a stage output: Iceberg table name or parquet path."""
+    if "/" not in target:
+        df.writeTo(target).createOrReplace()
+    else:
+        df.write.mode(mode).parquet(target)
+
+
+def read_words_from_textfile(spark: SparkSession, path: str) -> DataFrame:
+    """wdedup parity source: a whitespace-delimited text file → (word, ord).
+
+    The reference's exact input model (/root/reference/src/wprof.cpp:44-47:
+    words split on ' \\t\\n\\r', first-occurrence byte offset).  Lines are
+    already split on \\n by the text source; the in-line offset uses the
+    line ordinal from ``monotonically_increasing_id`` — monotone within and
+    across splits in file order, so first-occurrence comparisons agree with
+    the reference's byte-offset order for any single input file.
+    """
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("line_ord"), "value"
+    )
+    toks = F.split(F.col("value"), r"[ \t\r]+")
+    return (
+        lines.select("line_ord", F.posexplode(toks).alias("pos", "word"))
+        .filter(F.col("word") != "")
+        .select("word", (F.col("line_ord") * (1 << 20) + F.col("pos")).alias("ord"))
+    )
+
+
+def find_first_unique_word_in_file(spark: SparkSession, path: str) -> str:
+    """The reference's entire CLI semantic (src/main.cpp:208-222): first
+    non-repeated word of a text file, '' if none (src/wfindfirst.cpp:44,59)."""
+    from wdedup_spark.operators.wdedup import find_first_unique, word_profile
+
+    words = read_words_from_textfile(spark, path)
+    rows = find_first_unique(word_profile(words)).collect()
+    return rows[0]["word"] if rows else ""

@@ -54,9 +54,30 @@ class StageLedger:
         return os.path.join(self.workdir, stage)
 
     def is_committed(self, stage: str) -> bool:
+        if self.is_gcd(stage):
+            return True  # committed, output reclaimed (reference GC,
+            # src/wmerge.cpp:141-144: merged inputs deleted post-commit)
         ok_marker = os.path.exists(os.path.join(self._out_path(stage), "_SUCCESS"))
-        in_ledger = any(e["stage"] == stage for e in self.entries)
+        in_ledger = any(e["stage"] == stage and "rows" in e for e in self.entries)
         return ok_marker and in_ledger
+
+    def is_gcd(self, stage: str) -> bool:
+        return any(e["stage"] == stage and e.get("event") == "gc" for e in self.entries)
+
+    def gc(self, stage: str) -> None:
+        """O14: reclaim a committed stage's output once every downstream
+        consumer has committed (caller's responsibility — mirrors the
+        reference deleting merge inputs only after the merge record is
+        synced, src/wmerge.cpp:136-144)."""
+        import shutil
+
+        if not self.is_committed(stage) or self.is_gcd(stage):
+            return
+        shutil.rmtree(self._out_path(stage), ignore_errors=True)
+        entry = {"stage": stage, "event": "gc", "config_fence": self.config_fence, "ts": time.time()}
+        self.entries.append(entry)
+        with open(self._ledger_path(), "a") as f:
+            f.write(json.dumps(entry) + "\n")
 
     def output(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self._out_path(stage))
@@ -69,9 +90,12 @@ class StageLedger:
         repartition: int | None = None,
     ) -> DataFrame:
         """Run ``fn`` and commit its output under ``stage`` — or, if already
-        committed, read it back untouched (idempotent replay)."""
+        committed, read it back untouched (idempotent replay).  A committed
+        stage whose output was GC'd returns None — valid only when every
+        consumer of the stage is itself committed (the pipeline's GC policy
+        guarantees this)."""
         if self.is_committed(stage):
-            return self.output(spark, stage)
+            return None if self.is_gcd(stage) else self.output(spark, stage)
         t0 = time.time()
         df = fn()
         if repartition:
@@ -106,4 +130,8 @@ class StageLedger:
         return result
 
     def metrics(self) -> dict[str, dict]:
-        return {e["stage"]: {k: e[k] for k in ("rows", "wall_s", "bytes")} for e in self.entries}
+        return {
+            e["stage"]: {k: e[k] for k in ("rows", "wall_s", "bytes")}
+            for e in self.entries
+            if "rows" in e
+        }
