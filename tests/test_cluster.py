@@ -10,19 +10,30 @@ def _edges(spark, pairs):
     return spark.createDataFrame(pd.DataFrame(pairs, columns=["conv_a", "conv_b"]))
 
 
-def test_cc_basic_chain(spark):
-    # chain a-b-c-d plus isolated pair e-f
+import pytest
+
+
+@pytest.mark.parametrize("small_thresh", [2_000_000, 0], ids=["driver-uf", "distributed"])
+def test_cc_basic_chain(spark, small_thresh):
+    # chain a-b-c-d plus isolated pair e-f — both execution strategies
     edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")])
-    got = {r["conv_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in connected_components(edges, small_graph_edges=small_thresh).collect()
+    }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
 
 
-def test_cc_long_path_converges(spark):
+@pytest.mark.parametrize("small_thresh", [2_000_000, 0], ids=["driver-uf", "distributed"])
+def test_cc_long_path_converges(spark, small_thresh):
     # path of 33 nodes — needs multiple hash-to-min iterations
     n = 33
     nodes = [f"n{i:03d}" for i in range(n)]
     edges = _edges(spark, list(zip(nodes[:-1], nodes[1:])))
-    got = {r["conv_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in connected_components(edges, small_graph_edges=small_thresh).collect()
+    }
     assert set(got.values()) == {"n000"}
     assert len(got) == n
 

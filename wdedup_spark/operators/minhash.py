@@ -60,6 +60,75 @@ def minhash_udf(n_perms: int = DEFAULT_NUM_PERMS, seed: int = DEFAULT_SEED):
     return _minhash
 
 
+def sign_udf(
+    k: int = DEFAULT_K,
+    n_perms: int = DEFAULT_NUM_PERMS,
+    seed: int = DEFAULT_SEED,
+    enable_simhash: bool = True,
+    enable_substring: bool = True,
+    substring_k: int = 16,
+    substring_w: int = 48,
+):
+    """Fused signing kernel: ONE pandas UDF computing every signature the
+    pipeline needs — shingle set, MinHash signature, SimHash, winnowing
+    anchors — from one tokenization pass per document.
+
+    vs separate UDFs: one Arrow round-trip instead of four, and token
+    hashing runs once instead of four times.  This is the hot kernel of
+    the whole engine (the analog of the reference's single-pass
+    tokenize+insert loop, /root/reference/src/wprof.cpp:243-275).
+    """
+    a, b = hashing.minhash_params(n_perms, seed)
+
+    @pandas_udf(
+        "struct<shingles:array<long>, sig:array<long>, simhash:long, anchors:array<long>>"
+    )
+    def _sign(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from wdedup_spark.operators.substring import winnow
+
+        th = hashing.TokenHasher()
+        shingles, sigs, simhashes, anchors = [], [], [], []
+        for t in texts:
+            toks = t.split() if t else []
+            h = th.hash_tokens(toks)
+            gram_seq = hashing.shingle_hashes_seq(h, k)
+            sset = np.unique(gram_seq)
+            shingles.append(hashing.to_i64(sset))
+            sigs.append(hashing.to_i64(hashing.minhash_signature(sset, a, b)))
+            simhashes.append(
+                hashing.to_i64(hashing.simhash(gram_seq)) if enable_simhash else 0
+            )
+            anchors.append(
+                hashing.to_i64(winnow(h, substring_k, substring_w))
+                if enable_substring
+                else []
+            )
+        return pd.DataFrame(
+            {"shingles": shingles, "sig": sigs, "simhash": pd.Series(simhashes, dtype="int64"), "anchors": anchors}
+        )
+
+    return _sign
+
+
+def add_signatures(
+    df: DataFrame,
+    text_col: str = "doc",
+    k: int = DEFAULT_K,
+    n_perms: int = DEFAULT_NUM_PERMS,
+    seed: int = DEFAULT_SEED,
+    enable_simhash: bool = True,
+    enable_substring: bool = True,
+    substring_k: int = 16,
+    substring_w: int = 48,
+) -> DataFrame:
+    """Attach all signatures in one fused pass: + shingles, sig, simhash,
+    anchors columns."""
+    s = sign_udf(k, n_perms, seed, enable_simhash, enable_substring, substring_k, substring_w)
+    return df.withColumn("_s", s(F.col(text_col))).select("*", "_s.*").drop("_s")
+
+
 def add_shingles(df: DataFrame, text_col: str = "doc", k: int = DEFAULT_K, out_col: str = "shingles") -> DataFrame:
     return df.withColumn(out_col, shingle_udf(k)(F.col(text_col)))
 

@@ -24,8 +24,15 @@ from wdedup_spark.operators.lsh import candidate_pairs
 DEFAULT_HAMMING = 3
 
 
-def simhash_udf():
-    """text → 64-bit SimHash (LongType)."""
+def simhash_udf(k: int = 3):
+    """text → 64-bit SimHash (LongType) over k-shingle features.
+
+    Features are k-gram hashes, not unigrams: with Zipfian vocabularies a
+    unigram SimHash degenerates (every document's bit-majority is decided
+    by the same heavy-hitter tokens, so unrelated docs collide at Hamming
+    <= 3).  Shingle features keep the signature discriminative while
+    char-level edits (fixture D2) still move only ~k·edits features.
+    """
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -33,14 +40,15 @@ def simhash_udf():
         out = []
         for t in texts:
             toks = t.split() if t else []
-            out.append(hashing.to_i64(hashing.simhash(th.hash_tokens(toks))))
+            feats = hashing.shingle_hashes_seq(th.hash_tokens(toks), k)
+            out.append(hashing.to_i64(hashing.simhash(feats)))
         return pd.Series(out, dtype="int64")
 
     return _simhash
 
 
-def add_simhash(df: DataFrame, text_col: str = "doc", out_col: str = "simhash") -> DataFrame:
-    return df.withColumn(out_col, simhash_udf()(F.col(text_col)))
+def add_simhash(df: DataFrame, text_col: str = "doc", out_col: str = "simhash", k: int = 3) -> DataFrame:
+    return df.withColumn(out_col, simhash_udf(k)(F.col(text_col)))
 
 
 def simhash_chunks(
@@ -78,13 +86,14 @@ def simhash_candidates(
     id_col: str = "conv_id",
     max_hamming: int = DEFAULT_HAMMING,
     max_bucket: int = 256,
+    k: int = 3,
 ) -> DataFrame:
     """→ (conv_a, conv_b) pairs with Hamming(simhash) <= max_hamming.
 
     The pigeonhole buckets generate candidates; the exact distance filter
     re-joins the two signatures and checks ``bit_count(xor) <= d``.
     """
-    signed = add_simhash(df, text_col)
+    signed = add_simhash(df, text_col, k=k)
     sigs = signed.select(F.col(id_col).alias("id"), "simhash")
     cands = candidate_pairs(
         simhash_chunks(signed, "simhash", id_col, max_hamming), max_bucket, "star"

@@ -37,10 +37,10 @@ from wdedup_spark.operators.assemble import assemble_conversations
 from wdedup_spark.operators.cluster import cluster_assignments
 from wdedup_spark.operators.exact import add_fingerprint
 from wdedup_spark.operators.lsh import minhash_lsh_candidates
-from wdedup_spark.operators.minhash import add_minhash, add_shingles
-from wdedup_spark.operators.simhash import add_simhash, simhash_chunks
+from wdedup_spark.operators.minhash import add_signatures
+from wdedup_spark.operators.simhash import simhash_chunks
 from wdedup_spark.operators.lsh import candidate_pairs as _candidate_pairs
-from wdedup_spark.operators.substring import fingerprint_udf, common_run_udf
+from wdedup_spark.operators.substring import common_run_udf
 from wdedup_spark.operators.verify import verify_pairs
 from wdedup_spark.sources.ledger import StageLedger
 
@@ -116,16 +116,18 @@ def run_pipeline(
     # near-dup stages see one representative per distinct document
     reps = exact.select(F.col("rep_id").alias("conv_id"), "doc")
 
-    # -- stage 3: sign (narrow, vectorized pandas UDFs) -----------------------
+    # -- stage 3: sign (narrow, ONE fused vectorized pandas UDF) --------------
     def _sign() -> DataFrame:
-        df = add_shingles(reps, "doc", cfg.k)
-        df = add_minhash(df, "shingles", cfg.n_perms, cfg.seed)
-        if cfg.enable_simhash:
-            df = add_simhash(df, "doc")
-        if cfg.enable_substring:
-            df = df.withColumn(
-                "anchors", fingerprint_udf(cfg.substring_k, cfg.substring_w)(F.col("doc"))
-            )
+        # CPU-bound Python stage: fan out to ~2 partitions per core
+        # regardless of input file byte-splits
+        par = spark.sparkContext.defaultParallelism * 2
+        df = add_signatures(
+            reps.repartition(par), "doc",
+            k=cfg.k, n_perms=cfg.n_perms, seed=cfg.seed,
+            enable_simhash=cfg.enable_simhash,
+            enable_substring=cfg.enable_substring,
+            substring_k=cfg.substring_k, substring_w=cfg.substring_w,
+        )
         return df.drop("doc")
 
     signed = ledger.run(spark, "sign", _sign)
@@ -172,8 +174,32 @@ def run_pipeline(
 
     # -- stage 5: verify (exact Jaccard; substring pairs get exact LCS) -------
     def _verify() -> DataFrame:
+        # JVM-side MinHash-estimate pre-filter: lane-agreement rate is an
+        # unbiased Jaccard estimate; pairs far below threshold die inside
+        # whole-stage codegen before any Python verification (the dominant
+        # candidate volume at scale is random band/chunk collisions)
+        sigs = signed.select(F.col("conv_id").alias("id"), F.col("sig"))
+        margin = 0.15
+        est = (
+            cands.join(sigs.select(F.col("id").alias("conv_a"), F.col("sig").alias("sig_a")), "conv_a")
+            .join(sigs.select(F.col("id").alias("conv_b"), F.col("sig").alias("sig_b")), "conv_b")
+            .withColumn(
+                "est",
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / cfg.n_perms,
+            )
+            .filter(
+                (F.col("est") >= cfg.threshold - margin)
+                | F.array_contains("via", "substring")
+            )
+            .select("conv_a", "conv_b", "via")
+        )
         jac = verify_pairs(
-            cands.select("conv_a", "conv_b"), signed, threshold=cfg.threshold
+            est.select("conv_a", "conv_b"), signed, threshold=cfg.threshold
         ).withColumn("via", F.lit("jaccard"))
         out = jac
         if cfg.enable_substring:
