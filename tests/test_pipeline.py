@@ -44,11 +44,16 @@ def test_cluster_equals_oracle_closure(spark, tiny, piped):
     out, _ = piped
     cmap = _cluster_map(out)
     edges = out["verified"].select("conv_a", "conv_b").toPandas()
+    from wdedup_spark.operators.exact import add_fingerprint
+
     exact_edges = (
-        out["exact"]
-        .filter("n_members > 1")
-        .selectExpr("rep_id as conv_a", "explode(members) as conv_b")
-        .filter("conv_a != conv_b")
+        add_fingerprint(out["conv"], "doc")
+        .select("fp", "conv_id")
+        .join(
+            out["exact"].filter("n_members > 1").selectExpr("fp", "rep_id"), "fp"
+        )
+        .filter("conv_id != rep_id")
+        .selectExpr("rep_id as conv_a", "conv_id as conv_b")
         .toPandas()
     )
     all_edges = pd.concat([edges, exact_edges], ignore_index=True)

@@ -46,19 +46,20 @@ def exact_dup_clusters(
 
 
 def exact_dup_pairs(df: DataFrame, text_col: str = "doc", id_col: str = "conv_id") -> DataFrame:
-    """All (a < b) pairs of identical documents — edges for the cluster
-    stage.  Emitted as (member, rep) star edges, not the full clique:
-    a cluster of m members yields m-1 edges, not m(m-1)/2 — the same
-    economy the reference gets by collapsing on first collision."""
-    clustered = (
-        add_fingerprint(df, text_col)
-        .select("fp", F.col(id_col).alias("id"))
-        .groupBy("fp")
-        .agg(F.min("id").alias("rep"), F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
+    """All pairs of identical documents — edges for the cluster stage.
+    Emitted as (rep, member) star edges, not the full clique: a cluster of
+    m members yields m-1 edges, not m(m-1)/2 — the same economy the
+    reference gets by collapsing on first collision.  Derived by re-join
+    on the digest (no collect_list: a 10^8-member boilerplate clique must
+    never materialize as one aggregation-buffer array)."""
+    fp = add_fingerprint(df, text_col).select("fp", F.col(id_col).alias("id"))
+    clusters = (
+        fp.groupBy("fp")
+        .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
     )
     return (
-        clustered.select("rep", F.explode("ids").alias("id"))
+        fp.join(clusters.select("fp", "rep"), "fp")
         .filter(F.col("id") != F.col("rep"))
         .select(F.col("rep").alias("conv_a"), F.col("id").alias("conv_b"))
     )

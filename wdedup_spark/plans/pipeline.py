@@ -95,12 +95,15 @@ def run_pipeline(
         return out
 
     # -- stage 2: exact dedup (shuffle on 32-byte digest) ---------------------
+    # No collect_list of members: a boilerplate flood (10^8 identical docs)
+    # must not materialize one giant array in a single aggregation buffer.
+    # Member→rep star edges are derived by re-joining on the digest — a
+    # plain shuffle join whose skew AQE splits.
     def _exact() -> DataFrame:
         fp = add_fingerprint(conv, "doc")
         return fp.groupBy("fp").agg(
             F.min("conv_id").alias("rep_id"),
             F.min("doc").alias("doc"),  # all docs in an fp-group are identical
-            F.sort_array(F.collect_list("conv_id")).alias("members"),
             F.count(F.lit(1)).alias("n_members"),
         )
 
@@ -109,9 +112,11 @@ def run_pipeline(
     if done("exact"):
         return out
     exact_edges = (
-        exact.filter(F.col("n_members") > 1)
-        .select(F.col("rep_id").alias("conv_a"), F.explode("members").alias("conv_b"))
+        add_fingerprint(conv, "doc")
+        .select("fp", F.col("conv_id").alias("conv_b"))
+        .join(exact.filter(F.col("n_members") > 1).select("fp", F.col("rep_id").alias("conv_a")), "fp")
         .filter(F.col("conv_a") != F.col("conv_b"))
+        .select("conv_a", "conv_b")
     )
     # near-dup stages see one representative per distinct document
     reps = exact.select(F.col("rep_id").alias("conv_id"), "doc")
