@@ -214,6 +214,39 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: vector pairs with cosine >= 0.45 —
+    the embedding-space analog of the text near-dup pass.  JVM-side
+    zip_with/aggregate math in double precision (no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: words + standalone punctuation as separate
+    tokens (regexp extraction, JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -323,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk": q_ann_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "bpe_token_counts": q_bpe_token_counts,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "revenue_by_nation": q_revenue_by_nation,
@@ -451,6 +486,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
         FROM documents
+    """
+
+    sql["embedding_dup_pairs"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+    """
+
+    sql["bpe_token_counts"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]') AS toks
+          FROM documents
+        )
+        SELECT doc_id, len(toks)::BIGINT AS n_bpe_tokens,
+               len(list_distinct(toks))::BIGINT AS n_distinct_bpe_tokens
+        FROM t
     """
 
     sql["ann_topk"] = """
