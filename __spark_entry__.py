@@ -84,17 +84,21 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wdedup_spark.operators.lsh import minhash_lsh_candidates
-    from wdedup_spark.operators.minhash import add_minhash, add_shingles
+    from wdedup_spark.operators.minhash import add_signatures
     from wdedup_spark.operators.verify import verify_pairs
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
     )
-    shingled = add_shingles(docs, "doc", K)
-    signed = add_minhash(shingled, "shingles", N_PERMS)
+    # fused kernel: shingles + MinHash in one tokenization pass; checkpoint
+    # because both the banding path and the verify join consume it
+    signed = add_signatures(
+        docs, "doc", k=K, n_perms=N_PERMS,
+        enable_simhash=False, enable_substring=False,
+    ).drop("doc").localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(signed, n_perms=N_PERMS, n_bands=N_BANDS,
                                    oversize_policy="all")
-    return verify_pairs(cands, shingled, threshold=JACCARD_T)
+    return verify_pairs(cands, signed, threshold=JACCARD_T)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,6 +58,19 @@ def main() -> None:
     spark = spark_session(app_name="wdedup-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up the JVM (codegen) and the Python worker pool once so the
+    # first measured query isn't charged session spin-up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    spark.range(1000, numPartitions=int(cpus)).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
