@@ -36,6 +36,51 @@ def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(DoubleType())
+def edit_similarity_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Token-level Levenshtein similarity: 1 - dist/max_len.
+
+    Exact edit distance over token hashes, row-rolling DP vectorized per
+    row in numpy.  The loop-carried insertion chain cur[k] = cur[k-1]+1
+    is resolved with the prefix-min trick: min over j<=k of (cand[j] +
+    (k-j)) = (prefix-min of cand[j]-j) + k.  Runs only on candidate
+    pairs that survived the cheap filters; the north_rule's
+    "edit-distance check".
+    """
+    out = np.zeros(len(a), dtype=np.float64)
+    from wdedup_spark.functions.hashing import TokenHasher
+
+    th = TokenHasher()
+    for i in range(len(a)):
+        ta = th.hash_tokens(a.iloc[i].split() if a.iloc[i] else [])
+        tb = th.hash_tokens(b.iloc[i].split() if b.iloc[i] else [])
+        n, m = len(ta), len(tb)
+        if n == 0 and m == 0:
+            out[i] = 1.0
+            continue
+        if n == 0 or m == 0:
+            out[i] = 0.0
+            continue
+        if m < n:
+            ta, tb, n, m = tb, ta, m, n
+        idx = np.arange(n + 1, dtype=np.int32)
+        prev = idx.copy()
+        for j in range(1, m + 1):
+            cand = np.empty(n + 1, dtype=np.int32)
+            cand[0] = j
+            np.minimum(
+                prev[:-1] + (ta != tb[j - 1]),  # substitution / match
+                prev[1:] + 1,                   # deletion
+                out=cand[1:],
+            )
+            t = cand - idx                      # insertion chain via prefix-min
+            np.minimum.accumulate(t, out=t)
+            prev = t + idx
+        dist = int(prev[-1])
+        out[i] = 1.0 - dist / max(n, m)
+    return pd.Series(out)
+
+
 def verify_pairs(
     pairs: DataFrame,
     shingled: DataFrame,

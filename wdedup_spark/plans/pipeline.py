@@ -58,6 +58,8 @@ class PipelineConfig:
     substring_k: int = 16
     substring_w: int = 48
     substring_min_span: int = 100  # tokens of verbatim overlap
+    verify_edit: bool = False      # second verification channel: pairs that
+    edit_threshold: float = 0.85   # fail Jaccard but have edit-sim >= this pass
     max_bucket: int = 256
     oversize_policy: str = "star"
 
@@ -207,6 +209,25 @@ def run_pipeline(
             est.select("conv_a", "conv_b"), signed, threshold=cfg.threshold
         ).withColumn("via", F.lit("jaccard"))
         out = jac
+        if cfg.verify_edit:
+            # pairs that failed Jaccard get the edit-distance check
+            # (north_rule "Jaccard/edit-distance checks"): catches
+            # token-reorder-heavy near-dups whose shingle sets diverge
+            from wdedup_spark.operators.verify import edit_similarity_udf
+
+            failed = est.select("conv_a", "conv_b").exceptAll(
+                jac.select("conv_a", "conv_b")
+            )
+            docs = reps.select(F.col("conv_id").alias("id"), "doc")
+            edit_ok = (
+                failed.join(docs.select(F.col("id").alias("conv_a"), F.col("doc").alias("doc_a")), "conv_a")
+                .join(docs.select(F.col("id").alias("conv_b"), F.col("doc").alias("doc_b")), "conv_b")
+                .withColumn("edit_sim", edit_similarity_udf(F.col("doc_a"), F.col("doc_b")))
+                .filter(F.col("edit_sim") >= cfg.edit_threshold)
+                .select("conv_a", "conv_b", F.lit(None).cast("double").alias("jaccard"))
+                .withColumn("via", F.lit("edit"))
+            )
+            out = out.unionByName(edit_ok)
         if cfg.enable_substring:
             sub = cands.filter(F.array_contains("via", "substring")).select("conv_a", "conv_b")
             docs = reps.select(F.col("conv_id").alias("id"), "doc")

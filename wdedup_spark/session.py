@@ -57,7 +57,10 @@ def spark_session(
         # rather than landing 3 tasks at the default 128m splits
         .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.files.openCostInBytes", "1m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local mode: driver JVM is the executor; a small heap at high
+        # thread counts GC-thrashes (measured: 48g halves the sign stage
+        # at 32 threads vs 16g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
