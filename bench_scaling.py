@@ -28,6 +28,7 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import time
 
 WORKER = """
 import json, os, shutil, sys, tempfile, time
@@ -76,14 +77,21 @@ def main() -> None:
     worker_src = WORKER.format(repo=repo)
     results = {}
     try:
-        for cpus in (n_low, n_high):
+        # best-of-2 per level with a sync+settle between runs: single runs
+        # on this box vary ±15% (page-cache writeback, JIT); best-of-N is
+        # the standard noise floor and is applied identically to both levels
+        for cpus in (n_low, n_high, n_low, n_high):
+            os.sync()
+            time.sleep(5)
             out = subprocess.run(
                 [sys.executable, "-c", worker_src, cpus, src],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
-            print(results[cpus])
+            r = json.loads(line)
+            print(r)
+            if cpus not in results or r["wall_s"] < results[cpus]["wall_s"]:
+                results[cpus] = r
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
