@@ -63,16 +63,24 @@ def main() -> None:
     n_low = sys.argv[2] if len(sys.argv) > 2 else "8"
     n_high = sys.argv[3] if len(sys.argv) > 3 else "32"
 
-    # materialize the shared input once (deterministic)
-    from wdedup_spark import synth
-    from wdedup_spark.session import spark_session
+    # materialize the shared input once (deterministic); SCALE_INPUT_DIR
+    # reuses an existing materialization (same n_convs/seed contract)
+    src = os.environ.get("SCALE_INPUT_DIR", "")
+    reused = bool(src)
+    if not reused:
+        from wdedup_spark import synth
+        from wdedup_spark.session import spark_session
 
-    src = tempfile.mkdtemp(prefix="scale-input-")
-    gen = spark_session(app_name="scale-gen", master="local[8]")
-    gen.sparkContext.setLogLevel("ERROR")
-    res = synth.generate_transcripts(n_base=n_convs, seed=42)
-    synth.to_spark(gen, res).repartition(64).write.mode("overwrite").parquet(src)
-    gen.stop()
+        src = tempfile.mkdtemp(prefix="scale-input-")
+        gen = spark_session(app_name="scale-gen", master="local[8]")
+        gen.sparkContext.setLogLevel("ERROR")
+        res = synth.generate_transcripts(n_base=n_convs, seed=42)
+        synth.to_spark(gen, res).repartition(64).write.mode("overwrite").parquet(src)
+        gen.stop()
+
+    def steal() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
 
     worker_src = WORKER.format(repo=repo)
     results = {}
@@ -83,17 +91,21 @@ def main() -> None:
         for cpus in (n_low, n_high, n_low, n_high):
             os.sync()
             time.sleep(5)
+            s0 = steal()
             out = subprocess.run(
                 [sys.executable, "-c", worker_src, cpus, src],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
+            r["steal_jiffies"] = steal() - s0  # hypervisor CPU steal during
+            # the run: nonzero → wall time includes host contention noise
             print(r)
             if cpus not in results or r["wall_s"] < results[cpus]["wall_s"]:
                 results[cpus] = r
     finally:
-        shutil.rmtree(src, ignore_errors=True)
+        if not reused:
+            shutil.rmtree(src, ignore_errors=True)
 
     t_lo, t_hi = results[n_low]["wall_s"], results[n_high]["wall_s"]
     ratio = int(n_high) / int(n_low)

@@ -63,6 +63,7 @@ def candidate_pairs(
     banded: DataFrame,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     oversize_policy: str = "star",
+    min_collisions: int = 1,
 ) -> DataFrame:
     """band buckets → distinct candidate pairs (conv_a < conv_b).
 
@@ -72,6 +73,13 @@ def candidate_pairs(
                resolved transitively by the cluster stage)
       "drop" — skip the bucket (recall loss, recorded by caller metrics)
       "all"  — no cap (tests / small data)
+
+    min_collisions: require the pair to co-occur in at least this many
+    band buckets.  At corpus scale single-band collisions are quadratic
+    noise (baseline similarity s contributes n²·s^r expected pairs);
+    requiring 2 of b bands suppresses noise ~quadratically while recall
+    at the dedup threshold stays ~1 (s=0.8, b=32, r=4 → P[≥2] ≈
+    0.999998).  Star edges (structural connectivity) bypass the floor.
     """
     buckets = (
         banded.groupBy("band", "bucket")
@@ -85,6 +93,13 @@ def candidate_pairs(
         .select("a", F.explode("ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
     )
+    if min_collisions > 1:
+        pairs_small = (
+            pairs_small.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+            .filter(F.col("_hits") >= min_collisions)
+            .select("a", "b")
+        )
 
     if oversize_policy == "star":
         big = buckets.filter(F.col("m") > max_bucket)
@@ -107,6 +122,7 @@ def minhash_lsh_candidates(
     n_bands: int = DEFAULT_NUM_BANDS,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     oversize_policy: str = "star",
+    min_collisions: int = 1,
 ) -> DataFrame:
     banded = band_buckets(signed, sig_col, id_col, n_bands, n_perms)
-    return candidate_pairs(banded, max_bucket, oversize_policy)
+    return candidate_pairs(banded, max_bucket, oversize_policy, min_collisions)

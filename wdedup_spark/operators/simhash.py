@@ -56,26 +56,43 @@ def simhash_chunks(
     sim_col: str = "simhash",
     id_col: str = "conv_id",
     max_hamming: int = DEFAULT_HAMMING,
+    n_blocks: int = 6,
 ) -> DataFrame:
-    """Explode each signature into d+1 pigeonhole chunks: (band, bucket, id).
+    """Multi-block pigeonhole tables (Manku, Jain, Sarma — "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007): split the 64-bit
+    signature into ``n_blocks`` blocks; two signatures within Hamming
+    distance d agree exactly on some (n_blocks - d)-subset of blocks, so
+    each C(n_blocks, n_blocks-d) combination becomes one table keyed on
+    those blocks' concatenation.
 
-    Chunk extraction is pure JVM bit arithmetic (shiftrightunsigned/mask).
+    vs the naive d+1 × 16-bit chunk scheme: 16-bit buckets saturate by the
+    birthday bound (250k docs → ~2M random collisions); (n_blocks-d)-block
+    keys are ~32 bits → random collisions stay negligible at 10^9+ docs
+    while the pigeonhole guarantee is preserved.  All JVM bit arithmetic.
     """
-    n_chunks = max_hamming + 1
-    width = 64 // n_chunks
-    chunks = F.array(
-        *[
+    from itertools import combinations
+
+    if n_blocks <= max_hamming:
+        raise ValueError("need more blocks than the Hamming budget")
+    base = 64 // n_blocks
+    extra = 64 % n_blocks
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block(i: int):
+        return F.shiftrightunsigned(F.col(sim_col), offsets[i]) % F.lit(
+            1 << widths[i]
+        ).cast("long")
+
+    keys = []
+    for t, combo in enumerate(combinations(range(n_blocks), n_blocks - max_hamming)):
+        keys.append(
             F.struct(
-                F.lit(c).alias("band"),
-                (
-                    F.shiftrightunsigned(F.col(sim_col), c * width)
-                    % F.lit(1 << width).cast("long")
-                ).alias("bucket"),
+                F.lit(t).alias("band"),
+                F.xxhash64(*[block(i) for i in combo]).alias("bucket"),
             )
-            for c in range(n_chunks)
-        ]
-    )
-    return df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("bb")).select(
+        )
+    return df.select(F.col(id_col).alias("id"), F.explode(F.array(*keys)).alias("bb")).select(
         "bb.band", "bb.bucket", "id"
     )
 

@@ -62,6 +62,8 @@ class PipelineConfig:
     edit_threshold: float = 0.85   # fail Jaccard but have edit-sim >= this pass
     max_bucket: int = 256
     oversize_policy: str = "star"
+    min_band_collisions: int = 2   # ≥2 of 32 bands: kills quadratic
+    # single-band noise at corpus scale; recall at threshold ~0.999998
 
     def fence(self) -> str:
         return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
@@ -147,6 +149,7 @@ def run_pipeline(
         cands = minhash_lsh_candidates(
             signed, n_perms=cfg.n_perms, n_bands=cfg.n_bands,
             max_bucket=cfg.max_bucket, oversize_policy=cfg.oversize_policy,
+            min_collisions=cfg.min_band_collisions,
         ).withColumn("via", F.lit("minhash"))
         if cfg.enable_simhash:
             sim_banded = simhash_chunks(signed, "simhash", "conv_id", cfg.max_hamming)
