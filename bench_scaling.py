@@ -84,25 +84,37 @@ def main() -> None:
 
     worker_src = WORKER.format(repo=repo)
     results = {}
+    CLEAN_STEAL = int(os.environ.get("SCALE_CLEAN_STEAL_JIFFIES", "2500"))
+    MAX_ATTEMPTS = int(os.environ.get("SCALE_MAX_ATTEMPTS", "5"))
     try:
-        # best-of-2 per level with a sync+settle between runs: single runs
-        # on this box vary ±15% (page-cache writeback, JIT); best-of-N is
-        # the standard noise floor and is applied identically to both levels
-        for cpus in (n_low, n_high, n_low, n_high):
-            os.sync()
-            time.sleep(5)
-            s0 = steal()
-            out = subprocess.run(
-                [sys.executable, "-c", worker_src, cpus, src],
-                capture_output=True, text=True, timeout=3600,
-            )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            r["steal_jiffies"] = steal() - s0  # hypervisor CPU steal during
-            # the run: nonzero → wall time includes host contention noise
-            print(r)
-            if cpus not in results or r["wall_s"] < results[cpus]["wall_s"]:
-                results[cpus] = r
+        # Steal-gated best-of-N: this sandbox shares a hypervisor host and
+        # sees bursts of CPU steal (measured up to 267 stolen CPU-seconds
+        # in one run).  A run only counts if steal during it stayed under
+        # CLEAN_STEAL jiffies; retry up to MAX_ATTEMPTS, take the best
+        # clean wall.  Applied identically to both levels — we measure the
+        # engine, not the neighbors.
+        all_runs: list = []
+        for cpus in (n_low, n_high):
+            clean = []
+            for attempt in range(MAX_ATTEMPTS):
+                os.sync()
+                time.sleep(5)
+                s0 = steal()
+                out = subprocess.run(
+                    [sys.executable, "-c", worker_src, cpus, src],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                r["steal_jiffies"] = steal() - s0
+                print(r)
+                if r["steal_jiffies"] <= CLEAN_STEAL:
+                    clean.append(r)
+                all_runs.append(r)
+                if len(clean) >= 2:
+                    break
+            pool = clean or [x for x in all_runs if x["cpus"] == int(cpus)]
+            results[cpus] = min(pool, key=lambda x: x["wall_s"])
     finally:
         if not reused:
             shutil.rmtree(src, ignore_errors=True)
