@@ -544,7 +544,8 @@ def oracle_sql() -> dict[str, str]:
                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
           FROM lagged
         )
-        SELECT user_id, session_no, count(*)::BIGINT AS n_events, min(ts) AS session_start
+        SELECT user_id, session_no::BIGINT AS session_no,
+               count(*)::BIGINT AS n_events, min(ts) AS session_start
         FROM sess GROUP BY user_id, session_no
     """
 

@@ -80,9 +80,13 @@ def simhash_chunks(
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
 
     def block(i: int):
-        return F.shiftrightunsigned(F.col(sim_col), offsets[i]) % F.lit(
-            1 << widths[i]
-        ).cast("long")
+        # Mask, not modulo: Spark's % keeps the dividend's sign, so any
+        # signature with bit 63 set (a negative long) would get a negative
+        # block-0 remainder and never share a bucket key with its positive
+        # twin — silently breaking the pigeonhole recall guarantee.
+        return F.shiftrightunsigned(F.col(sim_col), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1).cast("long")
+        )
 
     keys = []
     for t, combo in enumerate(combinations(range(n_blocks), n_blocks - max_hamming)):

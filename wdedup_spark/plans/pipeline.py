@@ -60,6 +60,13 @@ class PipelineConfig:
     substring_min_span: int = 100  # tokens of verbatim overlap
     verify_edit: bool = False      # second verification channel: pairs that
     edit_threshold: float = 0.85   # fail Jaccard but have edit-sim >= this pass
+    edit_margin: float = 0.45      # edit candidates keep a wider MinHash-estimate
+    # band than the Jaccard channel's 0.15: token-reorder near-dups (the
+    # channel's whole purpose) have depressed shingle Jaccard, so the
+    # reachable band is [threshold - edit_margin, threshold); pairs below
+    # threshold - edit_margin are unreachable by design (documented bound,
+    # not a bug: a candidate must still collide in >= min_band_collisions
+    # LSH bands to be seen at all)
     max_bucket: int = 256
     oversize_policy: str = "star"
     min_band_collisions: int = 2   # ≥2 of 32 bands: kills quadratic
@@ -190,7 +197,7 @@ def run_pipeline(
         # candidate volume at scale is random band/chunk collisions)
         sigs = signed.select(F.col("conv_id").alias("id"), F.col("sig"))
         margin = 0.15
-        est = (
+        estimated = (
             cands.join(sigs.select(F.col("id").alias("conv_a"), F.col("sig").alias("sig_a")), "conv_a")
             .join(sigs.select(F.col("id").alias("conv_b"), F.col("sig").alias("sig_b")), "conv_b")
             .withColumn(
@@ -202,12 +209,12 @@ def run_pipeline(
                 ).cast("double")
                 / cfg.n_perms,
             )
-            .filter(
-                (F.col("est") >= cfg.threshold - margin)
-                | F.array_contains("via", "substring")
-            )
-            .select("conv_a", "conv_b", "via")
+            .select("conv_a", "conv_b", "via", "est")
         )
+        est = estimated.filter(
+            (F.col("est") >= cfg.threshold - margin)
+            | F.array_contains("via", "substring")
+        ).select("conv_a", "conv_b", "via")
         jac = verify_pairs(
             est.select("conv_a", "conv_b"), signed, threshold=cfg.threshold
         ).withColumn("via", F.lit("jaccard"))
@@ -215,10 +222,16 @@ def run_pipeline(
         if cfg.verify_edit:
             # pairs that failed Jaccard get the edit-distance check
             # (north_rule "Jaccard/edit-distance checks"): catches
-            # token-reorder-heavy near-dups whose shingle sets diverge
+            # token-reorder-heavy near-dups whose shingle sets diverge.
+            # Candidates come from the WIDER edit_margin band — reordered
+            # docs have depressed shingle Jaccard, so the jac channel's
+            # 0.15 margin would filter out exactly the pairs this channel
+            # exists to rescue.
             from wdedup_spark.operators.verify import edit_similarity_udf
 
-            failed = est.select("conv_a", "conv_b").exceptAll(
+            failed = estimated.filter(
+                F.col("est") >= cfg.threshold - cfg.edit_margin
+            ).select("conv_a", "conv_b").exceptAll(
                 jac.select("conv_a", "conv_b")
             )
             docs = reps.select(F.col("conv_id").alias("id"), "doc")
@@ -242,7 +255,7 @@ def run_pipeline(
                 .select("conv_a", "conv_b", F.lit(None).cast("double").alias("jaccard"))
                 .withColumn("via", F.lit("substring"))
             )
-            out = jac.unionByName(sub_ok)
+            out = out.unionByName(sub_ok)
         return out.groupBy("conv_a", "conv_b").agg(
             F.max("jaccard").alias("jaccard"), F.sort_array(F.collect_set("via")).alias("via")
         )
