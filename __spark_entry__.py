@@ -154,28 +154,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming<=3 candidate pairs (rows-only check: SimHash is not
-    SQL-expressible)."""
+    """All pairs within SimHash Hamming distance 3, exactly: the Manku
+    pigeonhole tables guarantee candidate recall and the bit_count filter
+    is exact, so with oversize_policy="all" the output equals the oracle's
+    all-pairs definition.  Features are md5-of-shingle-string (k=3) so
+    DuckDB reproduces the bit majorities bit-for-bit."""
     from wdedup_spark.operators.simhash import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
     )
-    return simhash_candidates(docs, "doc", "conv_id", max_hamming=3).select(
+    return simhash_candidates(
+        docs, "doc", "conv_id", max_hamming=3, k=K,
+        feature="md5", oversize_policy="all",
+    ).select(
         F.col("conv_a").cast("long").alias("doc_a"),
         F.col("conv_b").cast("long").alias("doc_b"),
     )
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-anchored exact long-substring pairs (rows-only check)."""
+    """Winnowing-anchored exact long-substring pairs.  With
+    oversize_policy="all", the winnowing guarantee (k=8, w=16: any common
+    span >= 23 tokens shares an anchor) plus exact common-run verification
+    (16-token seed chaining) make this EXACTLY the pairs sharing a verbatim
+    token run >= 23 — mirrored by the oracle's shared-16-gram diagonal
+    gaps-and-islands SQL."""
     from wdedup_spark.operators.substring import substring_candidates
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
     )
     return substring_candidates(
-        docs, "doc", "conv_id", k=8, w=16, min_span=23, max_bucket=512
+        docs, "doc", "conv_id", k=8, w=16, min_span=23, max_bucket=512,
+        oversize_policy="all",
     ).select(
         F.col("conv_a").cast("long").alias("doc_a"),
         F.col("conv_b").cast("long").alias("doc_b"),
@@ -572,7 +584,74 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_returnflag, l_linestatus
     """
 
-    # simhash_pairs / substring_pairs: deliberately omitted — SimHash bit
-    # majorities and winnowing anchor selection are not SQL-expressible;
-    # the driver records the weaker rows-only check for them.
+    # SimHash with md5-of-shingle-string features is fully SQL-expressible:
+    # DuckDB reproduces the 64-bit feature hash via substr(md5(s),1,16) and
+    # the bit majorities via an unnest(range(64)) sum.  The engine's
+    # pigeonhole tables + exact bit_count filter (oversize_policy="all")
+    # equal the all-pairs Hamming <= 3 definition below.
+    sql["simhash_pairs"] = """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE list_transform(range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+            END) AS s
+          FROM toks
+        ), feats AS (
+          SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h,
+                 count(*)::BIGINT AS cnt
+          FROM sh GROUP BY doc_id, s
+        ), tot AS (
+          SELECT doc_id, sum(cnt) AS total FROM feats GROUP BY doc_id
+        ), bits AS (
+          SELECT f.doc_id, b.b, sum(((f.h >> b.b) & 1)::BIGINT * f.cnt) AS ones
+          FROM feats f CROSS JOIN (SELECT unnest(range(64)) AS b) b
+          GROUP BY f.doc_id, b.b
+        ), sims AS (
+          SELECT bits.doc_id,
+                 sum(CASE WHEN 2 * ones > total THEN (1::UBIGINT << b)
+                          ELSE 0::UBIGINT END)::UBIGINT AS sim
+          FROM bits JOIN tot USING (doc_id) GROUP BY bits.doc_id
+        ), sims_all AS (
+          SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
+          FROM documents d LEFT JOIN sims s USING (doc_id)
+        )
+        SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+        FROM sims_all a JOIN sims_all b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """
+
+    # Longest common verbatim token run via shared 16-gram diagonal
+    # gaps-and-islands: a run of L tokens is L-15 consecutive matching
+    # 16-grams on one diagonal (i - j constant).  Mirrors the engine's
+    # seed-chaining verifier exactly; docs shorter than 16 tokens cannot
+    # reach the 23-token span floor on either side.
+    sql["substring_pairs"] = """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(range(0, len(t) - 15)) AS pos, t
+          FROM toks WHERE len(t) >= 16
+        ), grams AS (
+          SELECT doc_id, pos, array_to_string(t[pos+1:pos+16], ' ') AS gram FROM g
+        ), m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos - b.pos AS d, a.pos AS i
+          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ), isl AS (
+          SELECT doc_a, doc_b, d,
+                 i - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY i) AS grp
+          FROM m
+        ), runs AS (
+          SELECT doc_a, doc_b, count(*) + 15 AS common_run
+          FROM isl GROUP BY doc_a, doc_b, d, grp
+        )
+        SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+               max(common_run)::INT AS common_run
+        FROM runs GROUP BY doc_a, doc_b
+        HAVING max(common_run) >= 23
+    """
     return sql

@@ -78,8 +78,19 @@ def main() -> int:
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(sdf.columns) == sorted(odf.columns)
         ok_hash = ok_cols and value_hash(sdf) == value_hash(odf)
-        status = "OK" if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
-        print(f"{name:24s} rows={len(sdf):6d}/{len(odf):6d} cols={ok_cols} hash={ok_hash} {status}")
+        # dtype KIND parity (int vs float vs object): the driver's hash is
+        # dtype-sensitive (3 vs 3.0 mismatch) while %.9g normalization
+        # above is not — catch it here so local OK == driver OK
+        kind_mismatch = []
+        if ok_cols:
+            for c in sdf.columns:
+                ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+                if (ks in "iu") != (ko in "iu") or (ks == "f") != (ko == "f"):
+                    kind_mismatch.append((c, str(sdf[c].dtype), str(odf[c].dtype)))
+        ok_kinds = not kind_mismatch
+        status = "OK" if (ok_rows and ok_cols and ok_hash and ok_kinds) else "MISMATCH"
+        print(f"{name:24s} rows={len(sdf):6d}/{len(odf):6d} cols={ok_cols} hash={ok_hash} {status}"
+              + (f" dtype-kind mismatch: {kind_mismatch}" if kind_mismatch else ""))
         if status != "OK":
             failures.append(name)
             if not ok_cols:

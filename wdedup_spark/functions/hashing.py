@@ -124,6 +124,32 @@ def simhash(token_h: np.ndarray, weights: np.ndarray | None = None) -> int:
     return int(sig)
 
 
+def md5_shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """Positional k-shingle hashes derived from md5 of the shingle STRING
+    (first 8 digest bytes, big-endian) — duplicates preserved.
+
+    This is the oracle-mirrorable feature hash: DuckDB computes the exact
+    same value as ``('0x' || substr(md5(s), 1, 16))::UBIGINT``, so SimHash
+    bit majorities built on these features can be verified by SQL.  Slower
+    than the blake2b/polynomial kernel (string join + md5 per window) —
+    used by the oracle-checked query paths, not the pipeline hot path.
+    """
+    from hashlib import md5
+
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    kk = min(k, n)
+    return np.fromiter(
+        (
+            int.from_bytes(md5(" ".join(tokens[i : i + kk]).encode("utf-8")).digest()[:8], "big")
+            for i in range(n - kk + 1)
+        ),
+        dtype=np.uint64,
+        count=n - kk + 1,
+    )
+
+
 def to_i64(x: np.ndarray | int):
     """Reinterpret uint64 → int64 for Spark LongType transport."""
     if isinstance(x, np.ndarray):

@@ -24,7 +24,7 @@ from wdedup_spark.operators.lsh import candidate_pairs
 DEFAULT_HAMMING = 3
 
 
-def simhash_udf(k: int = 3):
+def simhash_udf(k: int = 3, feature: str = "poly"):
     """text → 64-bit SimHash (LongType) over k-shingle features.
 
     Features are k-gram hashes, not unigrams: with Zipfian vocabularies a
@@ -32,6 +32,11 @@ def simhash_udf(k: int = 3):
     by the same heavy-hitter tokens, so unrelated docs collide at Hamming
     <= 3).  Shingle features keep the signature discriminative while
     char-level edits (fixture D2) still move only ~k·edits features.
+
+    ``feature``: "poly" (default) = blake2b token hashes combined
+    polynomially — the fast pipeline kernel; "md5" = md5 of the shingle
+    string — bit-for-bit reproducible by DuckDB SQL, used by the
+    oracle-verified query path (hashing.md5_shingle_hashes).
     """
 
     @pandas_udf("long")
@@ -40,15 +45,24 @@ def simhash_udf(k: int = 3):
         out = []
         for t in texts:
             toks = t.split() if t else []
-            feats = hashing.shingle_hashes_seq(th.hash_tokens(toks), k)
+            if feature == "md5":
+                feats = hashing.md5_shingle_hashes(toks, k)
+            else:
+                feats = hashing.shingle_hashes_seq(th.hash_tokens(toks), k)
             out.append(hashing.to_i64(hashing.simhash(feats)))
         return pd.Series(out, dtype="int64")
 
     return _simhash
 
 
-def add_simhash(df: DataFrame, text_col: str = "doc", out_col: str = "simhash", k: int = 3) -> DataFrame:
-    return df.withColumn(out_col, simhash_udf(k)(F.col(text_col)))
+def add_simhash(
+    df: DataFrame,
+    text_col: str = "doc",
+    out_col: str = "simhash",
+    k: int = 3,
+    feature: str = "poly",
+) -> DataFrame:
+    return df.withColumn(out_col, simhash_udf(k, feature)(F.col(text_col)))
 
 
 def simhash_chunks(
@@ -108,16 +122,22 @@ def simhash_candidates(
     max_hamming: int = DEFAULT_HAMMING,
     max_bucket: int = 256,
     k: int = 3,
+    feature: str = "poly",
+    oversize_policy: str = "star",
 ) -> DataFrame:
     """→ (conv_a, conv_b) pairs with Hamming(simhash) <= max_hamming.
 
     The pigeonhole buckets generate candidates; the exact distance filter
-    re-joins the two signatures and checks ``bit_count(xor) <= d``.
+    re-joins the two signatures and checks ``bit_count(xor) <= d``.  With
+    ``oversize_policy="all"`` the pigeonhole guarantee makes the result
+    EXACTLY the set of all pairs within the Hamming budget (the DuckDB
+    oracle's all-pairs definition); "star" bounds pathological buckets at
+    scale at the cost of completeness inside them.
     """
-    signed = add_simhash(df, text_col, k=k)
+    signed = add_simhash(df, text_col, k=k, feature=feature)
     sigs = signed.select(F.col(id_col).alias("id"), "simhash")
     cands = candidate_pairs(
-        simhash_chunks(signed, "simhash", id_col, max_hamming), max_bucket, "star"
+        simhash_chunks(signed, "simhash", id_col, max_hamming), max_bucket, oversize_policy
     )
     return (
         cands.join(sigs.withColumnRenamed("id", "conv_a").withColumnRenamed("simhash", "sh_a"), "conv_a")

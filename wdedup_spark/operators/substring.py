@@ -119,9 +119,17 @@ def substring_candidates(
     w: int = DEFAULT_WINDOW,
     min_span: int = 100,
     max_bucket: int = 64,
+    oversize_policy: str = "star",
 ) -> DataFrame:
     """→ (conv_a, conv_b, common_run) for pairs sharing a verbatim token
-    span of >= min_span tokens (min_span must be >= w + k - 1)."""
+    span of >= min_span tokens (min_span must be >= w + k - 1).
+
+    With ``oversize_policy="all"`` the winnowing guarantee (spans >=
+    w + k - 1 share an anchor) plus the exact common-run verification make
+    the output EXACTLY the all-pairs common-run >= min_span set — the
+    contract the DuckDB diagonal-islands oracle checks.  "star" bounds hot
+    anchors (boilerplate spans shared by thousands of docs) at scale.
+    """
     fp = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("doc"),
         fingerprint_udf(k, w)(F.col(text_col)).alias("anchors"),
@@ -129,7 +137,7 @@ def substring_candidates(
     anchored = fp.select("id", F.explode("anchors").alias("bucket")).withColumn(
         "band", F.lit(0)
     )
-    cands = candidate_pairs(anchored.select("band", "bucket", "id"), max_bucket, "star")
+    cands = candidate_pairs(anchored.select("band", "bucket", "id"), max_bucket, oversize_policy)
     docs = fp.select("id", "doc")
     verified = (
         cands.join(docs.select(F.col("id").alias("conv_a"), F.col("doc").alias("doc_a")), "conv_a")
