@@ -231,21 +231,21 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: vector pairs with cosine >= 0.45 —
-    the embedding-space analog of the text near-dup pass.  JVM-side
-    zip_with/aggregate math in double precision (no UDF)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
+    """Embedding-cosine near-dup: ALL vector pairs with cosine >= 0.45,
+    exact.  The data has no margin at the threshold (pair cosines are
+    continuous through 0.45), so any bucketed/LSH filter would lose
+    borderline pairs; exact all-pairs is Ω(n²) by definition and the
+    operator executes that quadratic work as a blocked-GEMM bucket join
+    (operators/ann.exact_cosine_pairs) — a join on block ids + one numpy
+    matmul per block-pair tile, never a row-level CartesianProduct.  For
+    high-threshold dedup (margin available) the sub-quadratic path is
+    operators/ann.lsh_cosine_pairs."""
+    from wdedup_spark.operators.ann import exact_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        exact_cosine_pairs(emb, threshold=0.45, block_size=1024)
+        .withColumn("cosine", F.round("cosine", 6))
         .filter(F.col("cosine") >= 0.45)
         .select("vec_a", "vec_b", "cosine")
     )

