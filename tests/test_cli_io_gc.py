@@ -35,6 +35,59 @@ def test_words_textfile_counts(spark, tmp_path):
     assert counts == {"x": 2, "y": 2, "z": 1}
 
 
+def test_first_occurrence_order_multifile_multisplit(spark, tmp_path):
+    """Regression for the round-1 packed ord key: first-occurrence order
+    must come from real file coordinates (path, split offset, row, pos),
+    not from monotonically_increasing_id partition enumeration — verified
+    against a pandas oracle over two files forced into many splits."""
+    import numpy as np
+
+    from wdedup_spark.operators.wdedup import singular_filter, word_profile
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i:04d}" for i in range(4000)]
+    d = tmp_path / "txt"
+    d.mkdir()
+    files = []
+    for fi in range(2):
+        lines = [
+            " ".join(vocab[int(rng.integers(0, len(vocab)))] for _ in range(20))
+            for _ in range(300)
+        ]
+        p = d / f"part-{fi}.txt"
+        p.write_text("\n".join(lines) + "\n")
+        files.append(p)
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        words = read_words_from_textfile(spark, str(d))
+        assert words.rdd.getNumPartitions() > 4  # the fixture really splits
+        got = [
+            r["word"]
+            for r in singular_filter(word_profile(words)).orderBy("first_ord").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+    seen: dict[str, int] = {}
+    order: list[str] = []
+    counts: dict[str, int] = {}
+    for p in sorted(files, key=str):
+        for line in p.read_text().splitlines():
+            for w in line.split():
+                counts[w] = counts.get(w, 0) + 1
+                if w not in seen:
+                    seen[w] = len(order)
+                    order.append(w)
+    want = [w for w in order if counts[w] == 1]
+    assert len(want) > 50  # meaningful singleton population
+    assert got == want
+
+
 def test_stop_after_and_resume(spark, tiny_turns, tmp_path):
     """--stop-after commits a prefix of stages (the reference's
     --wprof-only debug mode); a later full run resumes from there."""

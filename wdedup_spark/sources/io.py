@@ -42,23 +42,51 @@ def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
 
 
 def read_words_from_textfile(spark: SparkSession, path: str) -> DataFrame:
-    """wdedup parity source: a whitespace-delimited text file → (word, ord).
+    """wdedup parity source: whitespace-delimited text file(s) → (word, ord).
 
     The reference's exact input model (/root/reference/src/wprof.cpp:44-47:
-    words split on ' \\t\\n\\r', first-occurrence byte offset).  Lines are
-    already split on \\n by the text source; the in-line offset uses the
-    line ordinal from ``monotonically_increasing_id`` — monotone within and
-    across splits in file order, so first-occurrence comparisons agree with
-    the reference's byte-offset order for any single input file.
+    words split on ' \\t\\n\\r', first-occurrence byte offset).  ``ord`` is a
+    STRUCT ordering key derived from real file coordinates, never a packed
+    BIGINT:
+
+      (file_path, split byte offset, row-in-partition counter, token pos)
+
+    * ``_metadata.file_block_start`` is the split's byte offset — splits of
+      one file order by where they start, regardless of which partition
+      Spark packed them into or in what order partitions enumerate;
+    * the low 33 bits of ``monotonically_increasing_id`` are the documented
+      within-partition row counter — rows of one split are read
+      sequentially (Hadoop line-reader contract), so the counter is
+      monotone inside each (file, split) run; the struct's higher fields
+      make cross-split/cross-partition counter values irrelevant;
+    * multi-file inputs order by path, lexicographically — a documented,
+      deterministic generalization of the reference's single-file offset.
+
+    vs the round-1 ``monotonically_increasing_id() * 2^20 + pos``: that
+    packed key both overflowed int64 once partition indexes reached 1024
+    (≈32 GB of input at 32 MB splits — below the reference's headline
+    100 GB) and silently assumed partition enumeration order equals byte
+    order.  Struct min/orderBy costs the same one exchange.
     """
     lines = spark.read.text(path).select(
-        F.monotonically_increasing_id().alias("line_ord"), "value"
+        F.col("_metadata.file_path").alias("_f"),
+        F.col("_metadata.file_block_start").alias("_b"),
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)).alias("_r"),
+        "value",
     )
     toks = F.split(F.col("value"), r"[ \t\r]+")
     return (
-        lines.select("line_ord", F.posexplode(toks).alias("pos", "word"))
+        lines.select("_f", "_b", "_r", F.posexplode(toks).alias("pos", "word"))
         .filter(F.col("word") != "")
-        .select("word", (F.col("line_ord") * (1 << 20) + F.col("pos")).alias("ord"))
+        .select(
+            "word",
+            F.struct(
+                F.col("_f").alias("file"),
+                F.col("_b").alias("split_start"),
+                F.col("_r").alias("row"),
+                F.col("pos").alias("pos"),
+            ).alias("ord"),
+        )
     )
 
 
