@@ -61,3 +61,39 @@ def test_cc_matches_union_find_oracle(spark):
         pd.DataFrame(pairs, columns=["conv_a", "conv_b"]), list(got.keys())
     )
     assert got == want
+
+
+def test_cc_distributed_with_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured, the distributed path must use
+    reliable checkpoint() (executor-loss tolerant on a real cluster) and
+    produce identical components."""
+    import numpy as np
+
+    from wdedup_spark.operators import cluster as cl
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        rng = np.random.default_rng(9)
+        # a long path (worst case for propagation) + random unions
+        edges_py = [(i, i + 1) for i in range(0, 60)] + [
+            (int(rng.integers(100, 160)), int(rng.integers(100, 160))) for _ in range(40)
+        ]
+        edges = spark.createDataFrame(edges_py, "conv_a long, conv_b long")
+        got = {
+            r["conv_id"]: r["cluster_id"]
+            for r in cl.connected_components(edges, small_graph_edges=0).collect()
+        }
+        # oracle: driver union-find over the same edges
+        want = {
+            r["conv_id"]: r["cluster_id"]
+            for r in cl.connected_components(edges, small_graph_edges=10**9).collect()
+        }
+        assert got == want
+        # the reliable path really engaged (checkpoint dir is non-empty)
+        import os
+
+        assert any(os.scandir(str(tmp_path / "ckpt")))
+    finally:
+        # later tests in the session fall back to localCheckpoint only if
+        # no dir is set; leaving it set is safe (strictly more durable)
+        pass

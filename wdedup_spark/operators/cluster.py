@@ -15,8 +15,10 @@ SURVEY.md §7 "hard parts").
 Scale notes:
 * each iteration is one groupBy exchange on node id — same partial/final
   aggregate shape as the reference's O4/O6 stages;
-* ``localCheckpoint`` truncates lineage each round (iterative plans
-  otherwise grow exponentially in Catalyst);
+* each round truncates lineage (iterative plans otherwise grow
+  exponentially in Catalyst) — RELIABLY via ``checkpoint()`` when the
+  session has a checkpoint dir (the cluster deployment: survives executor
+  loss), ``localCheckpoint`` otherwise (local mode / tests);
 * convergence check is an aggregate (sum of changes), not a collect of
   labels.
 """
@@ -25,6 +27,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncate_lineage(df: DataFrame, eager: bool) -> DataFrame:
+    """Checkpoint for iterative lineage truncation — RELIABLE when the
+    session has a checkpoint dir configured, local otherwise.
+
+    ``localCheckpoint`` stores blocks on executors: on a real cluster an
+    executor loss (preemption is routine at 1000-executor scale) kills the
+    cached blocks and the job, because truncated lineage cannot recompute.
+    With ``spark.sparkContext.setCheckpointDir(...)`` (HDFS/S3 path) set,
+    iterations persist to reliable storage instead and survive executor
+    loss.  Local mode / tests run without a dir and keep the cheap path.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 #: Below this many edges the dup graph fits comfortably on the driver and
@@ -95,12 +114,12 @@ def connected_components(
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _truncate_lineage(sym, eager=True)
 
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    labels = labels.localCheckpoint(eager=False)
+    labels = _truncate_lineage(labels, eager=False)
 
     for _ in range(max_iter):
         # (1) propagate: min label over closed neighborhood
@@ -124,7 +143,7 @@ def connected_components(
         )
         # lazy checkpoint: the convergence-check action below materializes
         # it, truncating lineage with ONE job per iteration instead of two
-        new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = _truncate_lineage(new_labels, eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -71,6 +71,9 @@ class PipelineConfig:
     oversize_policy: str = "star"
     min_band_collisions: int = 2   # ≥2 of 32 bands: kills quadratic
     # single-band noise at corpus scale; recall at threshold ~0.999998
+    sync_ranges: int = 8           # sub-stage commit granularity for the
+    # sign stage (the reference's --sync-distance analog): a crash mid-sign
+    # loses at most 1/sync_ranges of the stage's Python work
 
     def fence(self) -> str:
         return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
@@ -93,7 +96,7 @@ def run_pipeline(
     outputs (sign, candidates) once the final stage commits (O14,
     src/wmerge.cpp:141-144); resumed runs then skip straight to the
     surviving outputs."""
-    ledger = StageLedger(workdir, config_fence=cfg.fence())
+    ledger = StageLedger(workdir, config_fence=cfg.fence(), spark=spark)
     out: dict = {"ledger": ledger}
 
     def done(stage: str) -> bool:
@@ -133,12 +136,17 @@ def run_pipeline(
     reps = exact.select(F.col("rep_id").alias("conv_id"), "doc")
 
     # -- stage 3: sign (narrow, ONE fused vectorized pandas UDF) --------------
-    def _sign() -> DataFrame:
+    # The single most expensive Python stage, so it commits per key-range
+    # (run_ranged = the reference's --sync-distance analog): a crash mid-
+    # sign resumes from the first uncommitted range instead of re-signing
+    # the whole corpus.
+    def _sign_range(part: DataFrame, _r: int) -> DataFrame:
         # CPU-bound Python stage: fan out to ~2 partitions per core
-        # regardless of input file byte-splits
-        par = spark.sparkContext.defaultParallelism * 2
+        # regardless of input file byte-splits (ranges run up to 4 jobs
+        # concurrently, so size each range for its share of the cores)
+        par = max(1, spark.sparkContext.defaultParallelism * 2 // min(cfg.sync_ranges, 4))
         df = add_signatures(
-            reps.repartition(par), "doc",
+            part.repartition(par), "doc",
             k=cfg.k, n_perms=cfg.n_perms, seed=cfg.seed,
             enable_simhash=cfg.enable_simhash,
             enable_substring=cfg.enable_substring,
@@ -146,7 +154,10 @@ def run_pipeline(
         )
         return df.drop("doc")
 
-    signed = ledger.run(spark, "sign", _sign)
+    signed = ledger.run_ranged(
+        spark, "sign", lambda: reps, _sign_range, key_col="conv_id",
+        n_ranges=cfg.sync_ranges,
+    )
     out["signed"] = signed
     if done("sign"):
         return out

@@ -9,55 +9,146 @@ commit — plus one ledger row of metrics and per-file lineage (the analog
 of the profile size the reference logs for its planner,
 src/wpflsimple.cpp:71-80).
 
+Storage: ALL filesystem access goes through the Hadoop FileSystem API
+(via the session's JVM gateway), so the workdir may live on any Spark-
+reachable store — local path, ``file:/`` URI, HDFS, S3A, GCS.  Ledger
+entries are one-immutable-file-each under ``workdir/_ledger/`` (object
+stores have atomic single-object PUT but no append), sequence-numbered so
+replay order is the filename sort.
+
 Resume = skip stages whose commit marker exists and read their output —
 the replay semantics of src/wprof.cpp:183-186 ("'e' record → return with
-zero I/O") at stage granularity.  A version fence (like main.cpp:196-206)
-invalidates ledgers written by an incompatible pipeline config.
+zero I/O") at stage granularity.  ``run_ranged`` adds the reference's
+``--sync-distance`` granularity INSIDE a stage (src/wprof.cpp:258-284,
+src/wcli.cpp:109-112): the expensive transform commits per key-range, so
+a crash loses at most 1/n_ranges of the stage's work.  A version fence
+(like main.cpp:196-206) invalidates ledgers written by an incompatible
+pipeline config.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
-from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-LEDGER_FILE = "_ledger.jsonl"
+LEDGER_DIR = "_ledger"
+RANGE_COL = "rng"
 
 
-@dataclass
+class _HadoopFS:
+    """Thin Hadoop FileSystem wrapper — the storage-agnostic layer.
+
+    Everything the ledger needs (exists/mkdirs/delete/list/tiny text
+    files) in one place; no ``os`` calls anywhere else in this module.
+    """
+
+    def __init__(self, spark: SparkSession, base: str) -> None:
+        self._jvm = spark._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(base).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _p(self, path: str):
+        return self._Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._p(path), True)
+
+    def touch(self, path: str) -> None:
+        self._fs.create(self._p(path), True).close()
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._p(path), True)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            return str(
+                self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            )
+        finally:
+            stream.close()
+
+    def list_files(self, path: str) -> list[tuple[str, int]]:
+        if not self.exists(path):
+            return []
+        return sorted(
+            (str(st.getPath().getName()), int(st.getLen()))
+            for st in self._fs.listStatus(self._p(path))
+        )
+
+    def list_files_recursive(self, path: str) -> list[tuple[str, int]]:
+        """(relative_path, size) for every file under path, any depth —
+        ranged stages keep their parquet inside rng=<r>/ bucket dirs."""
+        if not self.exists(path):
+            return []
+        base = str(self._fs.makeQualified(self._p(path)).toString())
+        it = self._fs.listFiles(self._p(path), True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            full = str(st.getPath().toString())
+            rel = full[len(base) + 1 :] if full.startswith(base) else full
+            out.append((rel, int(st.getLen())))
+        return sorted(out)
+
+
 class StageLedger:
-    workdir: str
-    config_fence: str = ""  # hash of pipeline config; mismatch → cold start
-    entries: list[dict] = field(default_factory=list)
+    def __init__(
+        self,
+        workdir: str,
+        config_fence: str = "",
+        spark: SparkSession | None = None,
+    ) -> None:
+        self.workdir = workdir.rstrip("/")
+        self.config_fence = config_fence
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("StageLedger needs an active SparkSession")
+        self._spark = spark
+        self.fs = _HadoopFS(spark, self.workdir)
+        self.fs.mkdirs(self.workdir)
+        self.entries: list[dict] = []
+        ldir = self._ledger_dir()
+        for name, _size in self.fs.list_files(ldir):
+            if name.endswith(".json"):
+                self.entries.append(json.loads(self.fs.read_text(posixpath.join(ldir, name))))
+        fences = {e.get("config_fence", "") for e in self.entries}
+        if self.config_fence and fences and fences != {self.config_fence}:
+            # config changed → prior outputs are invalid (version fence,
+            # main.cpp:196-206 "log version mismatch → corrupt")
+            self.entries = []
+            self.fs.delete(ldir)
 
-    def __post_init__(self) -> None:
-        os.makedirs(self.workdir, exist_ok=True)
-        path = self._ledger_path()
-        if os.path.exists(path):
-            with open(path) as f:
-                self.entries = [json.loads(line) for line in f if line.strip()]
-            fences = {e.get("config_fence", "") for e in self.entries}
-            if self.config_fence and fences and fences != {self.config_fence}:
-                # config changed → prior outputs are invalid (version fence,
-                # main.cpp:196-206 "log version mismatch → corrupt")
-                self.entries = []
-                os.remove(path)
-
-    def _ledger_path(self) -> str:
-        return os.path.join(self.workdir, LEDGER_FILE)
+    def _ledger_dir(self) -> str:
+        return posixpath.join(self.workdir, LEDGER_DIR)
 
     def _out_path(self, stage: str) -> str:
-        return os.path.join(self.workdir, stage)
+        return posixpath.join(self.workdir, stage)
+
+    def _append_entry(self, entry: dict) -> None:
+        self.entries.append(entry)
+        name = f"{len(self.entries):06d}-{entry['stage']}.json"
+        self.fs.mkdirs(self._ledger_dir())
+        self.fs.write_text(posixpath.join(self._ledger_dir(), name), json.dumps(entry))
 
     def is_committed(self, stage: str) -> bool:
         if self.is_gcd(stage):
             return True  # committed, output reclaimed (reference GC,
             # src/wmerge.cpp:141-144: merged inputs deleted post-commit)
-        ok_marker = os.path.exists(os.path.join(self._out_path(stage), "_SUCCESS"))
+        ok_marker = self.fs.exists(posixpath.join(self._out_path(stage), "_SUCCESS"))
         in_ledger = any(e["stage"] == stage and "rows" in e for e in self.entries)
         return ok_marker and in_ledger
 
@@ -69,18 +160,43 @@ class StageLedger:
         consumer has committed (caller's responsibility — mirrors the
         reference deleting merge inputs only after the merge record is
         synced, src/wmerge.cpp:136-144)."""
-        import shutil
-
         if not self.is_committed(stage) or self.is_gcd(stage):
             return
-        shutil.rmtree(self._out_path(stage), ignore_errors=True)
-        entry = {"stage": stage, "event": "gc", "config_fence": self.config_fence, "ts": time.time()}
-        self.entries.append(entry)
-        with open(self._ledger_path(), "a") as f:
-            f.write(json.dumps(entry) + "\n")
+        self.fs.delete(self._out_path(stage))
+        self.fs.delete(self._out_path(stage) + ".input")  # ranged staging, if any
+        self._append_entry(
+            {"stage": stage, "event": "gc", "config_fence": self.config_fence, "ts": time.time()}
+        )
 
     def output(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(self._out_path(stage))
+        df = spark.read.parquet(self._out_path(stage))
+        if RANGE_COL in df.columns:  # ranged stages carry the bucket key dir
+            df = df.drop(RANGE_COL)
+        return df
+
+    def _commit(self, stage: str, out: str, wall: float, extra: dict | None = None) -> DataFrame:
+        result = self._spark.read.parquet(out)
+        files = [
+            {"file": name, "bytes": size}
+            for name, size in self.fs.list_files_recursive(out)
+            if name.endswith(".parquet")
+        ]
+        entry = {
+            "stage": stage,
+            "rows": result.count(),
+            "wall_s": round(wall, 3),
+            "n_files": len(files),
+            "bytes": sum(f["bytes"] for f in files),
+            "files": files,
+            "config_fence": self.config_fence,
+            "ts": time.time(),
+        }
+        if extra:
+            entry.update(extra)
+        self._append_entry(entry)
+        if RANGE_COL in result.columns:
+            result = result.drop(RANGE_COL)
+        return result
 
     def run(
         self,
@@ -102,31 +218,81 @@ class StageLedger:
             df = df.repartition(repartition)
         out = self._out_path(stage)
         df.write.mode("overwrite").parquet(out)
-        wall = time.time() - t0
-        result = spark.read.parquet(out)
-        # row count + per-file lineage from parquet footers (no Spark job)
-        import pyarrow.parquet as pq
+        return self._commit(stage, out, time.time() - t0)
 
-        rows = 0
-        files = []
-        for fn_ in sorted(os.listdir(out)):
-            if fn_.endswith(".parquet"):
-                p = os.path.join(out, fn_)
-                rows += pq.ParquetFile(p).metadata.num_rows
-                files.append({"file": fn_, "bytes": os.path.getsize(p)})
-        entry = {
-            "stage": stage,
-            "rows": rows,
-            "wall_s": round(wall, 3),
-            "n_files": len(files),
-            "bytes": sum(f["bytes"] for f in files),
-            "files": files,
-            "config_fence": self.config_fence,
-            "ts": time.time(),
-        }
-        self.entries.append(entry)
-        with open(self._ledger_path(), "a") as f:
-            f.write(json.dumps(entry) + "\n")
+    def run_ranged(
+        self,
+        spark: SparkSession,
+        stage: str,
+        input_fn: Callable[[], DataFrame],
+        transform: Callable[[DataFrame, int], DataFrame],
+        key_col: str,
+        n_ranges: int = 16,
+    ) -> DataFrame:
+        """Sub-stage recovery — the reference's ``--sync-distance`` analog
+        (src/wprof.cpp:258-284 bounds within-wprof recompute to a byte
+        budget; here the budget is 1/n_ranges of the stage).
+
+        Protocol:
+          1. materialize ``input_fn()`` ONCE into ``<stage>.input/``
+             partitioned by ``rng = pmod(xxhash64(key_col), n_ranges)`` —
+             a cheap narrow JVM write (restarted wholesale on crash; the
+             expensive work is the transform, not this copy);
+          2. per range r: if ``<stage>/rng=r/_SUCCESS`` exists, skip;
+             else run ``transform(partition-pruned input, r)`` and write
+             that bucket — each bucket is its own atomic commit;
+          3. after all buckets: top-level ``_SUCCESS`` + ledger row, then
+             the staging copy is deleted.
+
+        A fence file inside the output dir ties buckets to the pipeline
+        config: stale buckets from an incompatible earlier run are wiped,
+        never resumed from.
+        """
+        if self.is_committed(stage):
+            return None if self.is_gcd(stage) else self.output(spark, stage)
+        t0 = time.time()
+        out = self._out_path(stage)
+        staging = out + ".input"
+        fence_file = posixpath.join(out, ".fence")
+        fence_ok = (
+            self.fs.exists(fence_file)
+            and self.fs.read_text(fence_file) == f"{self.config_fence}:{n_ranges}"
+        )
+        if not fence_ok:
+            self.fs.delete(out)
+            self.fs.delete(staging)
+            self.fs.mkdirs(out)
+            self.fs.write_text(fence_file, f"{self.config_fence}:{n_ranges}")
+        if not self.fs.exists(posixpath.join(staging, "_SUCCESS")):
+            df = input_fn().withColumn(
+                RANGE_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_ranges))
+            )
+            df.write.mode("overwrite").partitionBy(RANGE_COL).parquet(staging)
+        staged = spark.read.parquet(staging)
+        todo = [
+            r
+            for r in range(n_ranges)
+            if not self.fs.exists(posixpath.join(out, f"{RANGE_COL}={r}", "_SUCCESS"))
+        ]  # committed ranges are never recomputed (syncDistance semantics)
+
+        def _run_range(r: int) -> None:
+            part = staged.filter(F.col(RANGE_COL) == r).drop(RANGE_COL)
+            bucket = posixpath.join(out, f"{RANGE_COL}={r}")
+            transform(part, r).write.mode("overwrite").parquet(bucket)
+
+        if todo:
+            # ranges are independent atomic commits; run them as concurrent
+            # Spark jobs so granular recovery costs no cluster utilization
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
+                for f in [pool.submit(_run_range, r) for r in todo]:
+                    f.result()
+        self.fs.touch(posixpath.join(out, "_SUCCESS"))
+        result = self._commit(
+            stage, out, time.time() - t0, extra={"ranged": n_ranges}
+        )
+        self.fs.delete(staging)
         return result
 
     def metrics(self) -> dict[str, dict]:
