@@ -263,6 +263,36 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal exact dedup over a binary content column, end-to-end
+    through the REAL media plumbing: ASSET_SCHEMA rows → mapInPandas
+    Arrow-streamed feature extraction (functions/multimodal.py) → content
+    hash groupBy.  The binary assets are synthesized deterministically from
+    documents (utf-8 bytes of text as the opaque payload) so the driver's
+    fixed table set suffices; content hashes are md5-derived so DuckDB
+    mirrors them bit-for-bit."""
+    from wdedup_spark.functions.multimodal import exact_media_dups, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").cast("long").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+    feats = extract_features(assets, hash_algo="md5")
+    return exact_media_dups(feats).select(
+        F.col("content_hash").cast("long").alias("content_hash"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -371,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "media_dedup": q_media_dedup,
         "ann_topk": q_ann_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "bpe_token_counts": q_bpe_token_counts,
@@ -502,6 +533,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
         FROM documents
+    """
+
+    sql["media_dedup"] = """
+        WITH h AS (
+          SELECT doc_id, ('0x' || substr(md5(text), 1, 16))::UBIGINT AS u
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN u >= 9223372036854775808::UBIGINT
+                      THEN (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                      ELSE u::BIGINT END AS content_hash
+          FROM h
+        )
+        SELECT content_hash, min(doc_id)::BIGINT AS rep_id,
+               count(*)::BIGINT AS n_members
+        FROM s GROUP BY content_hash
     """
 
     sql["embedding_dup_pairs"] = """
