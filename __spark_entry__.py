@@ -115,7 +115,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(n²) baseline the LSH path approximates.  JVM-side set algebra
     (array_intersect), no UDF."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - K, F.lit(0))),
@@ -412,15 +412,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Tokenization/shingle parity with the engine kernels (ADVICE round 1):
+# empty tokens are filtered (Python str.split() never yields them) and docs
+# shorter than K tokens clamp to one whole-doc shingle (hashing kernels and
+# F.slice both clamp) — so the CTE matches for ANY document, not just the
+# >= 20-token synthetic ones.
 _SHINGLES_CTE = f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
 ), sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(
-           range(0, greatest(len(t) - {K}, 0) + 1),
-           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-         )) AS s
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < {K} THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(
+                     range(0, len(t) - {K} + 1),
+                     i -> array_to_string(t[i+1:i+{K}], ' ')))
+         END AS s
   FROM toks
 )
 """

@@ -17,7 +17,14 @@ runner saturates, which a real multi-executor cluster (separate JVMs,
 separate python worker pools per executor) does not.  The primary
 evidence pair is therefore 4 vs 16 cores; 8 vs 32 is reported alongside.
 
+Round 2 adds MULTI-JVM specs: an argument of the form ``WxC`` runs
+``local-cluster[W,C,4096]`` — W separate executor JVMs with C cores each,
+each with its own python worker pool.  ``1x8`` vs ``4x8`` is the honest
+"N executors vs 4N executors" evidence pair (separate JVMs remove the
+shared-runner saturation caveat below).
+
 Usage: python bench_scaling.py [n_convs] [N] [4N]   (default 12000 8 32)
+       python bench_scaling.py 50000 1x8 4x8        (multi-JVM N->4N)
 """
 
 from __future__ import annotations
@@ -36,11 +43,30 @@ sys.path.insert(0, {repo!r})
 from wdedup_spark.session import spark_session
 from wdedup_spark.plans.pipeline import PipelineConfig, run_pipeline
 
-cpus = sys.argv[1]
+spec = sys.argv[1]
 src = sys.argv[2]
-spark = spark_session(app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
-                      shuffle_partitions=max(int(cpus), 8) * 2)
-spark.sparkContext.setLogLevel("ERROR")
+if "x" in spec:
+    # multi-JVM: spec "WxC" -> local-cluster[W,C,mem]: W separate executor
+    # JVMs with C cores each, each with its OWN python worker pool — the
+    # honest N->4N *executors* analog (vs thread scaling in one JVM)
+    w, c = spec.split("x")
+    total = int(w) * int(c)
+    master = f"local-cluster[{{w}},{{c}},4096]"
+    extra = {{"spark.executor.memory": "3g", "spark.driver.memory": "8g"}}
+else:
+    total = int(spec)
+    master = f"local[{{spec}}]"
+    extra = {{}}
+spark = spark_session(app_name=f"scale-{{spec}}", master=master,
+                      shuffle_partitions=max(total, 8) * 2, extra_conf=extra)
+cpus = total
+if "x" in spec:
+    # executor JVMs are separate processes: ship the package the way a real
+    # cluster run does (north_rule: spark-submit --py-files wdedup_spark.zip)
+    import shutil as _sh
+    zip_base = tempfile.mkdtemp(prefix="pyfiles-") + "/wdedup_spark"
+    _sh.make_archive(zip_base, "zip", {repo!r}, "wdedup_spark")
+    spark.sparkContext.addPyFile(zip_base + ".zip")
 turns = spark.read.parquet(src)
 n_turns = turns.count()  # warm the scan
 workdir = tempfile.mkdtemp(prefix=f"scale-{{cpus}}-")
@@ -51,10 +77,17 @@ try:
     wall = time.perf_counter() - t0
 finally:
     shutil.rmtree(workdir, ignore_errors=True)
-print(json.dumps({{"cpus": int(cpus), "wall_s": round(wall, 3),
+print(json.dumps({{"spec": spec, "cpus": int(cpus), "wall_s": round(wall, 3),
                    "n_turns": n_turns,
                    "turns_per_sec": round(n_turns / wall, 1)}}))
 """
+
+
+def _total_cores(spec: str) -> int:
+    if "x" in spec:
+        w, c = spec.split("x")
+        return int(w) * int(c)
+    return int(spec)
 
 
 def main() -> None:
@@ -94,14 +127,14 @@ def main() -> None:
         # clean wall.  Applied identically to both levels — we measure the
         # engine, not the neighbors.
         all_runs: list = []
-        for cpus in (n_low, n_high):
+        for spec in (n_low, n_high):
             clean = []
             for attempt in range(MAX_ATTEMPTS):
                 os.sync()
                 time.sleep(5)
                 s0 = steal()
                 out = subprocess.run(
-                    [sys.executable, "-c", worker_src, cpus, src],
+                    [sys.executable, "-c", worker_src, spec, src],
                     capture_output=True, text=True, timeout=3600,
                 )
                 line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -113,22 +146,30 @@ def main() -> None:
                 all_runs.append(r)
                 if len(clean) >= 2:
                     break
-            pool = clean or [x for x in all_runs if x["cpus"] == int(cpus)]
-            results[cpus] = min(pool, key=lambda x: x["wall_s"])
+            pool = clean or [x for x in all_runs if x.get("spec") == spec]
+            results[spec] = min(pool, key=lambda x: x["wall_s"])
     finally:
         if not reused:
             shutil.rmtree(src, ignore_errors=True)
 
     t_lo, t_hi = results[n_low]["wall_s"], results[n_high]["wall_s"]
-    ratio = int(n_high) / int(n_low)
+    ratio = _total_cores(n_high) / _total_cores(n_low)
+
+    def _label(spec: str) -> str:
+        if "x" in spec:
+            w, c = spec.split("x")
+            return f"local-cluster[{w},{c}] ({w} executor JVMs x {c} cores)"
+        return f"local[{spec}]"
+
     eff = (t_lo / t_hi) / ratio
     summary = {
-        "protocol": f"local[{n_low}] vs local[{n_high}], same input, same job (sandbox N->{int(ratio)}N)",
+        "protocol": f"{_label(n_low)} vs {_label(n_high)}, same input, same job "
+                    f"(sandbox N->{ratio:g}N; multi-JVM when specs are WxC)",
         "n_turns": results[n_low]["n_turns"],
-        f"wall_s_local{n_low}": t_lo,
-        f"wall_s_local{n_high}": t_hi,
-        f"turns_per_sec_local{n_low}": results[n_low]["turns_per_sec"],
-        f"turns_per_sec_local{n_high}": results[n_high]["turns_per_sec"],
+        f"wall_s_{n_low}": t_lo,
+        f"wall_s_{n_high}": t_hi,
+        f"turns_per_sec_{n_low}": results[n_low]["turns_per_sec"],
+        f"turns_per_sec_{n_high}": results[n_high]["turns_per_sec"],
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
     }
