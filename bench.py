@@ -32,6 +32,8 @@ HEADLINE = [
     "simhash_pairs",
     "substring_pairs",
     "token_stats",
+    "media_dedup",
+    "embedding_dup_pairs",
     "ann_topk",
     "events_hourly",
     "events_sessions",
