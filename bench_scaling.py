@@ -23,6 +23,15 @@ each with its own python worker pool.  ``1x8`` vs ``4x8`` is the honest
 "N executors vs 4N executors" evidence pair (separate JVMs remove the
 shared-runner saturation caveat below).
 
+Round 2 also PINS each level to its physical core budget with
+``taskset -c 0-(cores-1)`` (SCALE_PIN_CPUS=0 disables): an unpinned
+"8-core" local run leaks JVM GC / shuffle / python-worker threads onto
+every idle core of the 32-core host, so the low level was silently using
+far more than N cores — measured consequence: unpinned 4x8 ran SLOWER
+than 1x8 (efficiency 0.195, meaningless).  Pinned runs emulate real
+cluster nodes where executor JVM + its python workers share exactly the
+node's cores.
+
 Usage: python bench_scaling.py [n_convs] [N] [4N]   (default 12000 8 32)
        python bench_scaling.py 50000 1x8 4x8        (multi-JVM N->4N)
 """
@@ -133,9 +142,18 @@ def main() -> None:
                 os.sync()
                 time.sleep(5)
                 s0 = steal()
+                cmd = [sys.executable, "-c", worker_src, spec, src]
+                if os.environ.get("SCALE_PIN_CPUS", "1") != "0" and shutil.which("taskset"):
+                    # Confine the WHOLE process tree (driver JVM, executor
+                    # JVMs, python workers) to exactly the level's core
+                    # budget.  Without this an "8-core" run leaks GC /
+                    # shuffle / python-worker threads onto the other 24
+                    # idle cores, inflating the low-parallelism baseline
+                    # and making measured N->4N efficiency meaningless
+                    # (observed: unpinned 4x8 SLOWER than 1x8).
+                    cmd = ["taskset", "-c", f"0-{_total_cores(spec) - 1}"] + cmd
                 out = subprocess.run(
-                    [sys.executable, "-c", worker_src, spec, src],
-                    capture_output=True, text=True, timeout=3600,
+                    cmd, capture_output=True, text=True, timeout=3600,
                 )
                 line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
