@@ -121,17 +121,33 @@ def run_pipeline(
             F.count(F.lit(1)).alias("n_members"),
         )
 
-    exact = ledger.run(spark, "exact", _exact)
+    # written range-partitioned on rep_id so the sign stage's ranged
+    # commits partition-prune straight off this output (no staging copy)
+    exact = ledger.run(
+        spark, "exact", _exact, range_key="rep_id", n_ranges=cfg.sync_ranges
+    )
     out["exact"] = exact
     if done("exact"):
         return out
-    exact_edges = (
-        add_fingerprint(conv, "doc")
-        .select("fp", F.col("conv_id").alias("conv_b"))
-        .join(exact.filter(F.col("n_members") > 1).select("fp", F.col("rep_id").alias("conv_a")), "fp")
-        .filter(F.col("conv_a") != F.col("conv_b"))
-        .select("conv_a", "conv_b")
+    # member → fingerprint map, committed once: without this the exact-edge
+    # derivation would lazily re-fingerprint the WHOLE corpus inside the
+    # cluster stage (measured: cluster wall 3x..10x inflated); with it the
+    # cluster stage is a pure id-only join
+    members = ledger.run(
+        spark, "members",
+        lambda: add_fingerprint(conv, "doc").select("fp", "conv_id"),
     )
+    # members is None only when GC'd — which the GC policy permits only
+    # once the cluster stage (its sole consumer) is already committed
+    exact_edges = None
+    if members is not None:
+        exact_edges = (
+            members.select("fp", F.col("conv_id").alias("conv_b"))
+            .join(exact.filter(F.col("n_members") > 1).select("fp", F.col("rep_id").alias("conv_a")), "fp")
+            .filter(F.col("conv_a") != F.col("conv_b"))
+            .select("conv_a", "conv_b")
+        )
+    out["members"] = members
     # near-dup stages see one representative per distinct document
     reps = exact.select(F.col("rep_id").alias("conv_id"), "doc")
 
@@ -156,7 +172,10 @@ def run_pipeline(
 
     signed = ledger.run_ranged(
         spark, "sign", lambda: reps, _sign_range, key_col="conv_id",
-        n_ranges=cfg.sync_ranges,
+        n_ranges=cfg.sync_ranges, input_stage="exact",
+        input_select=lambda df: df.select(
+            F.col("rep_id").alias("conv_id"), "doc"
+        ),
     )
     out["signed"] = signed
     if done("sign"):
@@ -288,8 +307,10 @@ def run_pipeline(
 
     if gc:
         # reclaim intermediates whose consumers are all committed (O14):
-        # sign feeds candidates+verify; candidates feeds verify
+        # sign feeds candidates+verify; candidates feeds verify; members
+        # feeds only the cluster stage's exact edges
         ledger.gc("sign")
         ledger.gc("candidates")
+        ledger.gc("members")
 
     return out

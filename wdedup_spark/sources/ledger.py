@@ -204,12 +204,19 @@ class StageLedger:
         stage: str,
         fn: Callable[[], DataFrame],
         repartition: int | None = None,
+        range_key: str | None = None,
+        n_ranges: int = 0,
     ) -> DataFrame:
         """Run ``fn`` and commit its output under ``stage`` — or, if already
         committed, read it back untouched (idempotent replay).  A committed
         stage whose output was GC'd returns None — valid only when every
         consumer of the stage is itself committed (the pipeline's GC policy
-        guarantees this)."""
+        guarantees this).
+
+        ``range_key``/``n_ranges``: additionally lay the output out
+        partitioned by ``rng = pmod(xxhash64(range_key), n_ranges)`` so a
+        downstream ``run_ranged`` stage can partition-prune its per-range
+        input straight off this commit — no staging copy."""
         if self.is_committed(stage):
             return None if self.is_gcd(stage) else self.output(spark, stage)
         t0 = time.time()
@@ -217,7 +224,18 @@ class StageLedger:
         if repartition:
             df = df.repartition(repartition)
         out = self._out_path(stage)
-        df.write.mode("overwrite").parquet(out)
+        if range_key and n_ranges:
+            df = df.withColumn(
+                RANGE_COL, F.pmod(F.xxhash64(F.col(range_key)), F.lit(n_ranges))
+            )
+            # co-locate each rng before the partitioned write: ~1 file per
+            # (shuffle partition holding that rng), not tasks x ranges
+            par = spark.sparkContext.defaultParallelism * 2
+            df.repartition(par, F.col(RANGE_COL)).write.mode("overwrite").partitionBy(
+                RANGE_COL
+            ).parquet(out)
+        else:
+            df.write.mode("overwrite").parquet(out)
         return self._commit(stage, out, time.time() - t0)
 
     def run_ranged(
@@ -228,25 +246,31 @@ class StageLedger:
         transform: Callable[[DataFrame, int], DataFrame],
         key_col: str,
         n_ranges: int = 16,
+        input_stage: str | None = None,
+        input_select: Callable[[DataFrame], DataFrame] | None = None,
     ) -> DataFrame:
         """Sub-stage recovery — the reference's ``--sync-distance`` analog
         (src/wprof.cpp:258-284 bounds within-wprof recompute to a byte
         budget; here the budget is 1/n_ranges of the stage).
 
         Protocol:
-          1. materialize ``input_fn()`` ONCE into ``<stage>.input/``
-             partitioned by ``rng = pmod(xxhash64(key_col), n_ranges)`` —
+          1. obtain a range-partitioned input: preferably the committed
+             upstream ``input_stage`` whose ``run(range_key=...)`` already
+             laid data out by ``rng`` (zero-copy: per-range reads are
+             partition-pruned scans of the committed output); otherwise
+             materialize ``input_fn()`` ONCE into ``<stage>.input/`` —
              a cheap narrow JVM write (restarted wholesale on crash; the
              expensive work is the transform, not this copy);
           2. per range r: if ``<stage>/rng=r/_SUCCESS`` exists, skip;
              else run ``transform(partition-pruned input, r)`` and write
              that bucket — each bucket is its own atomic commit;
           3. after all buckets: top-level ``_SUCCESS`` + ledger row, then
-             the staging copy is deleted.
+             any staging copy is deleted.
 
-        A fence file inside the output dir ties buckets to the pipeline
-        config: stale buckets from an incompatible earlier run are wiped,
-        never resumed from.
+        ``input_select`` projects the pruned per-range input (applied
+        after the rng filter, before the transform).  A fence file inside
+        the output dir ties buckets to the pipeline config: stale buckets
+        from an incompatible earlier run are wiped, never resumed from.
         """
         if self.is_committed(stage):
             return None if self.is_gcd(stage) else self.output(spark, stage)
@@ -263,12 +287,19 @@ class StageLedger:
             self.fs.delete(staging)
             self.fs.mkdirs(out)
             self.fs.write_text(fence_file, f"{self.config_fence}:{n_ranges}")
-        if not self.fs.exists(posixpath.join(staging, "_SUCCESS")):
-            df = input_fn().withColumn(
-                RANGE_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_ranges))
-            )
-            df.write.mode("overwrite").partitionBy(RANGE_COL).parquet(staging)
-        staged = spark.read.parquet(staging)
+        if input_stage is not None and self.is_committed(input_stage):
+            staged = spark.read.parquet(self._out_path(input_stage))
+            if RANGE_COL not in staged.columns:
+                raise ValueError(
+                    f"input stage {input_stage!r} was not written range-partitioned"
+                )
+        else:
+            if not self.fs.exists(posixpath.join(staging, "_SUCCESS")):
+                df = input_fn().withColumn(
+                    RANGE_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_ranges))
+                )
+                df.write.mode("overwrite").partitionBy(RANGE_COL).parquet(staging)
+            staged = spark.read.parquet(staging)
         todo = [
             r
             for r in range(n_ranges)
@@ -277,6 +308,8 @@ class StageLedger:
 
         def _run_range(r: int) -> None:
             part = staged.filter(F.col(RANGE_COL) == r).drop(RANGE_COL)
+            if input_select is not None:
+                part = input_select(part)
             bucket = posixpath.join(out, f"{RANGE_COL}={r}")
             transform(part, r).write.mode("overwrite").parquet(bucket)
 
