@@ -64,8 +64,14 @@ def candidate_pairs(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     oversize_policy: str = "star",
     min_collisions: int = 1,
+    dedup: bool = True,
 ) -> DataFrame:
     """band buckets → distinct candidate pairs (conv_a < conv_b).
+
+    ``dedup=False`` skips the final ``distinct()`` exchange: callers that
+    immediately aggregate on (conv_a, conv_b) anyway (the pipeline's
+    channel-union groupBy) get identical results one shuffle cheaper —
+    cross-band duplicates just carry into that aggregate.
 
     oversize_policy for buckets with > max_bucket members:
       "star" — emit m-1 edges to the bucket-min id (bounded, keeps
@@ -111,7 +117,9 @@ def candidate_pairs(
     else:
         pairs = pairs_small
 
-    return pairs.distinct().select(F.col("a").alias("conv_a"), F.col("b").alias("conv_b"))
+    if dedup:
+        pairs = pairs.distinct()
+    return pairs.select(F.col("a").alias("conv_a"), F.col("b").alias("conv_b"))
 
 
 def minhash_lsh_candidates(
@@ -123,6 +131,7 @@ def minhash_lsh_candidates(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     oversize_policy: str = "star",
     min_collisions: int = 1,
+    dedup: bool = True,
 ) -> DataFrame:
     banded = band_buckets(signed, sig_col, id_col, n_bands, n_perms)
-    return candidate_pairs(banded, max_bucket, oversize_policy, min_collisions)
+    return candidate_pairs(banded, max_bucket, oversize_policy, min_collisions, dedup)

@@ -41,7 +41,6 @@ from wdedup_spark.operators.minhash import add_signatures
 from wdedup_spark.operators.simhash import simhash_chunks
 from wdedup_spark.operators.lsh import candidate_pairs as _candidate_pairs
 from wdedup_spark.operators.substring import common_run_udf
-from wdedup_spark.operators.verify import verify_pairs
 from wdedup_spark.sources.ledger import StageLedger
 
 
@@ -183,14 +182,20 @@ def run_pipeline(
 
     # -- stage 4: candidates (the shuffle stages) ------------------------------
     def _candidates() -> DataFrame:
+        # every channel feeds the final (conv_a, conv_b) aggregate, so the
+        # per-channel distinct() exchanges are skipped (dedup=False) —
+        # cross-band duplicates collapse in that one groupBy instead of in
+        # three extra shuffles
         cands = minhash_lsh_candidates(
             signed, n_perms=cfg.n_perms, n_bands=cfg.n_bands,
             max_bucket=cfg.max_bucket, oversize_policy=cfg.oversize_policy,
-            min_collisions=cfg.min_band_collisions,
+            min_collisions=cfg.min_band_collisions, dedup=False,
         ).withColumn("via", F.lit("minhash"))
         if cfg.enable_simhash:
             sim_banded = simhash_chunks(signed, "simhash", "conv_id", cfg.max_hamming)
-            sim_cands = _candidate_pairs(sim_banded, cfg.max_bucket, cfg.oversize_policy)
+            sim_cands = _candidate_pairs(
+                sim_banded, cfg.max_bucket, cfg.oversize_policy, dedup=False
+            )
             sigs = signed.select(F.col("conv_id").alias("id"), "simhash")
             sim_cands = (
                 sim_cands.join(
@@ -207,7 +212,8 @@ def run_pipeline(
                 F.col("conv_id").alias("id"), F.explode("anchors").alias("bucket")
             ).withColumn("band", F.lit(0))
             sub_cands = _candidate_pairs(
-                anchored.select("band", "bucket", "id"), cfg.max_bucket, cfg.oversize_policy
+                anchored.select("band", "bucket", "id"), cfg.max_bucket,
+                cfg.oversize_policy, dedup=False,
             ).withColumn("via", F.lit("substring"))
             cands = cands.unionByName(sub_cands)
         return cands.groupBy("conv_a", "conv_b").agg(
@@ -225,11 +231,31 @@ def run_pipeline(
         # unbiased Jaccard estimate; pairs far below threshold die inside
         # whole-stage codegen before any Python verification (the dominant
         # candidate volume at scale is random band/chunk collisions)
-        sigs = signed.select(F.col("conv_id").alias("id"), F.col("sig"))
+        # ONE join per pair side carrying BOTH the MinHash signature (for
+        # the JVM estimate pre-filter) and the shingle set (for the exact
+        # Jaccard UDF) — half the corpus joins of the sig-then-shingles
+        # two-pass shape, at the cost of shipping shingles for candidates
+        # the estimate filter kills (bounded: min_band_collisions already
+        # keeps the candidate set tight)
+        both = signed.select(F.col("conv_id").alias("id"), "sig", "shingles")
         margin = 0.15
         estimated = (
-            cands.join(sigs.select(F.col("id").alias("conv_a"), F.col("sig").alias("sig_a")), "conv_a")
-            .join(sigs.select(F.col("id").alias("conv_b"), F.col("sig").alias("sig_b")), "conv_b")
+            cands.join(
+                both.select(
+                    F.col("id").alias("conv_a"),
+                    F.col("sig").alias("sig_a"),
+                    F.col("shingles").alias("sh_a"),
+                ),
+                "conv_a",
+            )
+            .join(
+                both.select(
+                    F.col("id").alias("conv_b"),
+                    F.col("sig").alias("sig_b"),
+                    F.col("shingles").alias("sh_b"),
+                ),
+                "conv_b",
+            )
             .withColumn(
                 "est",
                 F.aggregate(
@@ -239,15 +265,20 @@ def run_pipeline(
                 ).cast("double")
                 / cfg.n_perms,
             )
-            .select("conv_a", "conv_b", "via", "est")
+            .select("conv_a", "conv_b", "via", "est", "sh_a", "sh_b")
         )
-        est = estimated.filter(
-            (F.col("est") >= cfg.threshold - margin)
-            | F.array_contains("via", "substring")
-        ).select("conv_a", "conv_b", "via")
-        jac = verify_pairs(
-            est.select("conv_a", "conv_b"), signed, threshold=cfg.threshold
-        ).withColumn("via", F.lit("jaccard"))
+        from wdedup_spark.operators.verify import jaccard_udf
+
+        jac = (
+            estimated.filter(
+                (F.col("est") >= cfg.threshold - margin)
+                | F.array_contains("via", "substring")
+            )
+            .withColumn("jaccard", jaccard_udf(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= cfg.threshold)
+            .select("conv_a", "conv_b", "jaccard")
+            .withColumn("via", F.lit("jaccard"))
+        )
         out = jac
         if cfg.verify_edit:
             # pairs that failed Jaccard get the edit-distance check
