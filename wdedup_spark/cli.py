@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--no-simhash", action="store_true")
     d.add_argument("--no-substring", action="store_true")
     d.add_argument("--min-span", type=int, default=100)
+    d.add_argument("--sync-ranges", type=int, default=8,
+                   help="sub-stage commit granularity for the sign stage — the "
+                        "reference's --sync-distance analog (wcli.cpp:109-112): "
+                        "a crash mid-sign loses at most 1/N of the stage")
     d.add_argument("--stop-after", choices=STAGES, default=None,
                    help="debug: commit stages up to this one, then exit")
     d.add_argument("--no-gc", action="store_true",
@@ -67,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         k=args.k, n_perms=args.n_perms, n_bands=args.n_bands,
         threshold=args.threshold, seed=args.seed, max_bucket=args.max_bucket,
         enable_simhash=not args.no_simhash, enable_substring=not args.no_substring,
-        substring_min_span=args.min_span,
+        substring_min_span=args.min_span, sync_ranges=args.sync_ranges,
     )
     turns = read_turns(spark, args.input)
     out = run_pipeline(

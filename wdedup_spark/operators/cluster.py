@@ -75,13 +75,20 @@ def _driver_union_find(edge_rows, spark, id_type) -> DataFrame:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    data = [(n, find(n)) for n in sorted(nodes)]
+    import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
+    ordered = sorted(nodes)
     schema = StructType(
         [StructField("conv_id", id_type, False), StructField("cluster_id", id_type, False)]
     )
-    return spark.createDataFrame(data, schema=schema)
+    # pandas + Arrow path: one columnar transfer instead of per-row pickle
+    # serialization (measured: the row-list path dominated the cluster
+    # stage wall on multi-JVM runs)
+    pdf = pd.DataFrame(
+        {"conv_id": ordered, "cluster_id": [find(n) for n in ordered]}
+    )
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def connected_components(

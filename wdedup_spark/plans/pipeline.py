@@ -73,6 +73,10 @@ class PipelineConfig:
     sync_ranges: int = 8           # sub-stage commit granularity for the
     # sign stage (the reference's --sync-distance analog): a crash mid-sign
     # loses at most 1/sync_ranges of the stage's Python work
+    sync_min_rows_per_range: int = 20_000  # like the reference's 2 GB
+    # syncDistance default, granularity is data-proportional: small inputs
+    # collapse to one range (per-range job overhead would exceed the
+    # recompute it insures against), large inputs get the full fan-out
 
     def fence(self) -> str:
         return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
@@ -107,6 +111,11 @@ def run_pipeline(
     if done("assemble"):
         return out
 
+    # effective sign-stage commit granularity: data-proportional, from the
+    # committed assemble row count (free — it's in the ledger entry)
+    n_convs = ledger.metrics().get("assemble", {}).get("rows", 0)
+    eff_ranges = max(1, min(cfg.sync_ranges, n_convs // cfg.sync_min_rows_per_range))
+
     # -- stage 2: exact dedup (shuffle on 32-byte digest) ---------------------
     # No collect_list of members: a boilerplate flood (10^8 identical docs)
     # must not materialize one giant array in a single aggregation buffer.
@@ -123,7 +132,7 @@ def run_pipeline(
     # written range-partitioned on rep_id so the sign stage's ranged
     # commits partition-prune straight off this output (no staging copy)
     exact = ledger.run(
-        spark, "exact", _exact, range_key="rep_id", n_ranges=cfg.sync_ranges
+        spark, "exact", _exact, range_key="rep_id", n_ranges=eff_ranges
     )
     out["exact"] = exact
     if done("exact"):
@@ -159,7 +168,7 @@ def run_pipeline(
         # CPU-bound Python stage: fan out to ~2 partitions per core
         # regardless of input file byte-splits (ranges run up to 4 jobs
         # concurrently, so size each range for its share of the cores)
-        par = max(1, spark.sparkContext.defaultParallelism * 2 // min(cfg.sync_ranges, 4))
+        par = max(1, spark.sparkContext.defaultParallelism * 2 // min(eff_ranges, 4))
         df = add_signatures(
             part.repartition(par), "doc",
             k=cfg.k, n_perms=cfg.n_perms, seed=cfg.seed,
@@ -171,7 +180,7 @@ def run_pipeline(
 
     signed = ledger.run_ranged(
         spark, "sign", lambda: reps, _sign_range, key_col="conv_id",
-        n_ranges=cfg.sync_ranges, input_stage="exact",
+        n_ranges=eff_ranges, input_stage="exact",
         input_select=lambda df: df.select(
             F.col("rep_id").alias("conv_id"), "doc"
         ),
