@@ -194,16 +194,31 @@ def lsh_cosine_pairs(
     (exact verify); bucket blowups are bounded by max_bucket like every
     other candidate channel.
     """
+    from pyspark.sql.functions import pandas_udf
+
     from wdedup_spark.operators.lsh import candidate_pairs
 
     e = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-    banded = None
-    for t in range(n_tables):
-        sig = hyperplane_signature(e, "v", dim, n_bits, seed=seed * 1_000_003 + t)
-        part = sig.select(
-            F.lit(t).alias("band"), F.col("ann_bucket").alias("bucket"), "id"
-        )
-        banded = part if banded is None else banded.unionByName(part)
+
+    # ONE fused Arrow pass computes every table's bucket key (one matmul
+    # against the (dim, n_tables*n_bits) plane block), vs n_tables
+    # separate UDF evaluations each re-shipping the vectors
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * n_bits))
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes) > 0  # (batch, n_tables*n_bits)
+        keys = (
+            bits.reshape(len(m), n_tables, n_bits) * weights[None, None, :]
+        ).sum(axis=2)
+        return pd.Series(list(keys))
+
+    banded = e.select("id", _sigs(F.col("v")).alias("keys")).select(
+        "id", F.posexplode("keys").alias("band", "bucket")
+    ).select("band", "bucket", "id")
     cands = candidate_pairs(banded, max_bucket, oversize_policy).select(
         F.col("conv_a").alias("vec_a"), F.col("conv_b").alias("vec_b")
     )
