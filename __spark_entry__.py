@@ -415,8 +415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Tokenization/shingle parity with the engine kernels (ADVICE round 1):
 # empty tokens are filtered (Python str.split() never yields them) and docs
 # shorter than K tokens clamp to one whole-doc shingle (hashing kernels and
-# F.slice both clamp) — so the CTE matches for ANY document, not just the
-# >= 20-token synthetic ones.
+# F.slice both clamp).  Zero-token docs: the CTE yields an empty shingle
+# set while the Spark ngram expression yields [""] — the pair-level
+# both-empty CASE below (jaccard = 1.0) reconciles the two, so results
+# match for ANY document, not just the >= 20-token synthetic ones.
 _SHINGLES_CTE = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -463,11 +465,16 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY text
     """
 
+    # Both-empty convention: two zero-shingle documents are identical ->
+    # jaccard 1.0 (matches jaccard_udf and the [""]-shingle Spark edge),
+    # instead of NULL from 0/0.
     pair_jaccard = _SHINGLES_CTE + """
         , pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 round(len(list_intersect(a.s, b.s))::DOUBLE /
-                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+                 CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                      ELSE round(len(list_intersect(a.s, b.s))::DOUBLE /
+                           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                 END AS jaccard
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         )
     """

@@ -129,8 +129,11 @@ def exact_cosine_pairs(
                 na = np.linalg.norm(A, axis=1)
                 nb = na if ba == bb else np.linalg.norm(B, axis=1)
                 S = (A @ B.T) / np.outer(na, nb)
-                # pre-filter with slack; exact round+filter happens JVM-side
-                M = S >= t - 1e-9
+                # pre-filter with slack covering the caller's round-half
+                # semantics: a raw cosine in [t - 5e-7, t) can round UP to
+                # the threshold at 6 decimals, so the tile must keep it
+                # for the exact JVM-side round+filter to decide
+                M = S >= t - 1e-6
                 if ba == bb:
                     M = np.triu(M, k=1)  # each unordered pair once, no self
                 ii, jj = np.nonzero(M)

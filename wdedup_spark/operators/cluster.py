@@ -42,7 +42,14 @@ def _truncate_lineage(df: DataFrame, eager: bool) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
-        return df.checkpoint(eager=eager)
+        # persist before reliable checkpoint: the checkpoint write job
+        # otherwise recomputes every partition a second time (the
+        # documented RDD.checkpoint caveat).  Orphaned checkpoint files
+        # are reclaimed via spark.cleaner.referenceTracking
+        # .cleanCheckpoints=true (set in session.py).
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 
 

@@ -300,7 +300,10 @@ def run_pipeline(
             from wdedup_spark.operators.verify import edit_similarity_udf
 
             failed = estimated.filter(
-                F.col("est") >= cfg.threshold - cfg.edit_margin
+                (F.col("est") >= cfg.threshold - cfg.edit_margin)
+                | F.array_contains("via", "substring")  # substring-anchored
+                # candidates keep their edit shot regardless of estimate
+                # (long docs with moderate overlap can sit below the band)
             ).select("conv_a", "conv_b").exceptAll(
                 jac.select("conv_a", "conv_b")
             )

@@ -62,6 +62,9 @@ def spark_session(
         # at 32 threads vs 16g)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # iterative CC uses reliable checkpoint() when a checkpoint dir is
+        # set; reclaim out-of-scope checkpoint files automatically
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

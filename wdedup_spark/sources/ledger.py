@@ -174,6 +174,25 @@ class StageLedger:
             df = df.drop(RANGE_COL)
         return df
 
+    def _row_count(self, out: str, files: list[dict], result: DataFrame) -> int:
+        """Committed row count: free parquet-footer reads when the store is
+        the local filesystem (no Spark job), a metadata count() otherwise."""
+        local = out[7:] if out.startswith("file://") else out
+        if not local.startswith(("hdfs:", "s3", "gs:", "abfs", "wasb")):
+            try:
+                import os
+
+                import pyarrow.parquet as pq
+
+                if os.path.isdir(local):
+                    return sum(
+                        pq.ParquetFile(os.path.join(local, f["file"])).metadata.num_rows
+                        for f in files
+                    )
+            except Exception:
+                pass
+        return result.count()
+
     def _commit(self, stage: str, out: str, wall: float, extra: dict | None = None) -> DataFrame:
         result = self._spark.read.parquet(out)
         files = [
@@ -183,7 +202,7 @@ class StageLedger:
         ]
         entry = {
             "stage": stage,
-            "rows": result.count(),
+            "rows": self._row_count(out, files, result),
             "wall_s": round(wall, 3),
             "n_files": len(files),
             "bytes": sum(f["bytes"] for f in files),
@@ -228,12 +247,17 @@ class StageLedger:
             df = df.withColumn(
                 RANGE_COL, F.pmod(F.xxhash64(F.col(range_key)), F.lit(n_ranges))
             )
-            # co-locate each rng before the partitioned write: ~1 file per
-            # (shuffle partition holding that rng), not tasks x ranges
+            # repartition by (rng, key), NOT rng alone: rng has only
+            # n_ranges distinct values, so hashing on it alone would
+            # funnel the whole stage output through <= n_ranges write
+            # tasks; adding the key keeps all writers busy.  Cost: each
+            # task can hold every rng, so the dir gets up to
+            # par * n_ranges files — fine for the compact stage tables
+            # this writes (size the two knobs down together if not)
             par = spark.sparkContext.defaultParallelism * 2
-            df.repartition(par, F.col(RANGE_COL)).write.mode("overwrite").partitionBy(
-                RANGE_COL
-            ).parquet(out)
+            df.repartition(par, F.col(RANGE_COL), F.col(range_key)).write.mode(
+                "overwrite"
+            ).partitionBy(RANGE_COL).parquet(out)
         else:
             df.write.mode("overwrite").parquet(out)
         return self._commit(stage, out, time.time() - t0)
@@ -287,7 +311,12 @@ class StageLedger:
             self.fs.delete(staging)
             self.fs.mkdirs(out)
             self.fs.write_text(fence_file, f"{self.config_fence}:{n_ranges}")
-        if input_stage is not None and self.is_committed(input_stage):
+        from_input_stage = (
+            input_stage is not None
+            and self.is_committed(input_stage)
+            and not self.is_gcd(input_stage)  # GC'd output is gone on disk
+        )
+        if from_input_stage:
             staged = spark.read.parquet(self._out_path(input_stage))
             if RANGE_COL not in staged.columns:
                 raise ValueError(
@@ -308,7 +337,10 @@ class StageLedger:
 
         def _run_range(r: int) -> None:
             part = staged.filter(F.col(RANGE_COL) == r).drop(RANGE_COL)
-            if input_select is not None:
+            if input_select is not None and from_input_stage:
+                # input_select adapts the committed upstream SCHEMA to the
+                # transform's input; the staging fallback already has the
+                # input_fn() shape and must not be re-projected
                 part = input_select(part)
             bucket = posixpath.join(out, f"{RANGE_COL}={r}")
             transform(part, r).write.mode("overwrite").parquet(bucket)
