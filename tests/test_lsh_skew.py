@@ -1,0 +1,85 @@
+"""Skew safety of candidate_pairs: oversize buckets must never be
+materialized as a collect_list array (VERDICT round-2 finding #1).
+
+The star policy exists for boilerplate floods; the round-2 implementation
+aggregated ``collect_list(id)`` over EVERY bucket before filtering on the
+size — an executor OOM at exactly the skew it targets.  The fix counts
+bucket sizes with a window (sort-based, spills) and only collect_lists
+buckets already proven small; oversize rows flow straight to star edges.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wdedup_spark.operators.lsh import candidate_pairs
+
+
+def _banded(spark, rows):
+    return spark.createDataFrame(rows, "band int, bucket long, id long")
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """One 100k-member hot bucket + two small buckets + a singleton."""
+    hot = spark.range(100_000).select(
+        F.lit(0).alias("band"), F.lit(777).alias("bucket"), F.col("id")
+    )
+    small = _banded(
+        spark,
+        [(1, 10, 1), (1, 10, 2), (1, 10, 3),      # 3-member bucket
+         (1, 11, 5), (1, 11, 9),                  # 2-member bucket
+         (2, 12, 42)],                            # singleton — no pairs
+    )
+    return hot.unionByName(small).localCheckpoint(eager=True)
+
+
+def test_star_policy_truncates_hot_bucket(spark, skewed):
+    pairs = candidate_pairs(skewed, max_bucket=16, oversize_policy="star")
+    got = {(r["conv_a"], r["conv_b"]) for r in pairs.collect()}
+    # hot bucket → exactly m-1 star edges around the min id (0)
+    star = {(0, i) for i in range(1, 100_000)}
+    small = {(1, 2), (1, 3), (2, 3), (5, 9)}
+    assert got == star | small
+
+
+def test_oversize_branch_builds_no_array(spark, skewed):
+    """Plan-level guarantee: bucket sizes come from a window count (spills,
+    no buffer) and the single collect_list runs on the pre-filtered small
+    branch only."""
+    pairs = candidate_pairs(skewed, max_bucket=16, oversize_policy="star")
+    optimized = pairs._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "windowspecdefinition" in optimized, "size gate must be a window count"
+    # exactly one collect_list, and the aggregate's input is gated on the
+    # window-computed size BEFORE collecting (the star branch builds none)
+    assert optimized.count("collect_list") == 1
+    agg_idx = optimized.index("collect_list")
+    gate_idx = optimized.index("<= 16")
+    assert gate_idx > agg_idx, "size filter must sit BELOW the aggregate"
+
+
+def test_drop_policy_drops_hot_bucket(spark, skewed):
+    pairs = candidate_pairs(skewed, max_bucket=16, oversize_policy="drop")
+    got = {(r["conv_a"], r["conv_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (5, 9)}
+
+
+def test_all_policy_unchanged(spark):
+    banded = _banded(
+        spark, [(0, 1, 7), (0, 1, 8), (0, 1, 9), (1, 2, 7), (1, 2, 8)]
+    )
+    pairs = candidate_pairs(banded, max_bucket=2, oversize_policy="all")
+    got = {(r["conv_a"], r["conv_b"]) for r in pairs.collect()}
+    assert got == {(7, 8), (7, 9), (8, 9)}
+
+
+def test_min_collisions_floor_with_star(spark):
+    # pair (7,8) collides in 2 bands, (7,9) in 1 → floor 2 keeps only (7,8);
+    # star edges bypass the floor (structural connectivity)
+    rows = [(0, 1, 7), (0, 1, 8), (1, 2, 7), (1, 2, 8), (2, 3, 7), (2, 3, 9)]
+    hot = [(3, 99, i) for i in range(20, 40)]
+    banded = _banded(spark, rows + hot)
+    pairs = candidate_pairs(
+        banded, max_bucket=8, oversize_policy="star", min_collisions=2
+    )
+    got = {(r["conv_a"], r["conv_b"]) for r in pairs.collect()}
+    assert got == {(7, 8)} | {(20, i) for i in range(21, 40)}

@@ -81,16 +81,24 @@ def exact_cosine_pairs(
     scale question is HOW the quadratic work is executed, not whether:
 
     * corpus → ⌈n/B⌉ hash blocks of ~B members (one groupBy);
-    * the ⌈n/B⌉·(⌈n/B⌉+1)/2 unordered block pairs drive a JOIN on block
-      ids — a broadcast/shuffle join, never a row-level CartesianProduct;
+    * the ⌈n/B⌉·(⌈n/B⌉+1)/2 unordered block pairs are enumerated
+      JVM-SIDE (``spark.range`` self-join with ``ba <= bb`` — a broadcast
+      nested-loop over two 8-byte/row ranges), never as a driver-side
+      Python list: at n = 10^8 vectors the pair table is ~5×10^9 rows,
+      which must be born distributed;
+    * block pairs drive a JOIN on block ids — a broadcast/shuffle join,
+      never a row-level CartesianProduct;
     * each joined block pair computes its B×B cosine tile as ONE numpy
       matrix product inside mapInPandas (Arrow batches, ~50-100× less
       per-pair overhead than expression-tree arithmetic), emitting only
       the pairs that clear the threshold;
-    * task memory is bounded: two blocks + a B² float tile (B=1024, d=64
-      → ~8 MB), independent of corpus size; shuffle ships each block to
-      ⌈n/B⌉ tasks — the unavoidable quadratic term, but in dense packed
-      form.
+    * task memory is bounded: each joined row carries two full member
+      blocks (~2·B·d·8 bytes), so the join output is repartitioned to
+      ~one tile per partition — an Arrow batch can then never materialize
+      more than a few tiles regardless of
+      ``spark.sql.execution.arrow.maxRecordsPerBatch``.  Task count ==
+      tile count; at large n raise ``block_size`` (B ~ √(n·target_tile))
+      so per-tile GEMM work amortizes the ~ms task overhead.
 
     For thresholds with a real margin (true near-dup dedup at t >= 0.8),
     prefer ``lsh_cosine_pairs`` — sub-quadratic with a quantified recall.
@@ -105,13 +113,16 @@ def exact_cosine_pairs(
     e = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     e = e.withColumn("block", F.pmod(F.xxhash64(F.col("id")), F.lit(nblocks)))
     blocks = e.groupBy("block").agg(F.collect_list(F.struct("id", "v")).alias("members"))
-    bp = spark.createDataFrame(
-        [(i, j) for i in range(nblocks) for j in range(i, nblocks)], "ba long, bb long"
+    bp = spark.range(nblocks).select(F.col("id").alias("ba")).join(
+        F.broadcast(spark.range(nblocks).select(F.col("id").alias("bb"))),
+        F.col("ba") <= F.col("bb"),
     )
+    npairs = nblocks * (nblocks + 1) // 2
     joined = (
-        F.broadcast(bp)
-        .join(blocks.select(F.col("block").alias("ba"), F.col("members").alias("ma")), "ba")
+        bp.join(blocks.select(F.col("block").alias("ba"), F.col("members").alias("ma")), "ba")
         .join(blocks.select(F.col("block").alias("bb"), F.col("members").alias("mb")), "bb")
+        # ~1 tile per task: bounds pandas-batch memory to ~two blocks
+        .repartition(npairs, "ba", "bb")
     )
     t = float(threshold)
 
@@ -191,11 +202,15 @@ def lsh_cosine_pairs(
 
     Recall: a pair at angle θ agrees per hyperplane with p = 1 − θ/π, so
     P(caught) = 1 − (1 − p^n_bits)^n_tables.  Defaults (10 bits × 16
-    tables): cosine 0.95 → ~1−3e−9, 0.9 → ~0.9996, 0.85 → ~0.995.  Below
-    ~0.8 the margin math stops working — use ``exact_cosine_pairs``, which
-    is what the all-pairs oracle checks.  False positives never survive
-    (exact verify); bucket blowups are bounded by max_bucket like every
-    other candidate channel.
+    tables): cosine 0.95 → ~0.9988, 0.9 → ~0.978, 0.85 → ~0.916.  For
+    deterministic-in-practice recall size the tables to the threshold —
+    e.g. 6 bits × 32 tables gives 0.9 → ~1−1e−7 and 0.85 → ~0.999994 at
+    ~16× the bucket density (wider buckets → more verify work; the exact
+    verify keeps precision at 1 regardless).  Below ~0.8 the margin math
+    stops working — use ``exact_cosine_pairs``, which is what the
+    all-pairs oracle checks.  False positives never survive (exact
+    verify); bucket blowups are bounded by max_bucket like every other
+    candidate channel.
     """
     from pyspark.sql.functions import pandas_udf
 

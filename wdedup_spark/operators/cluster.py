@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _truncate_lineage(df: DataFrame, eager: bool) -> DataFrame:
+def _truncate_lineage(df: DataFrame, eager: bool) -> tuple[DataFrame, DataFrame | None]:
     """Checkpoint for iterative lineage truncation — RELIABLE when the
     session has a checkpoint dir configured, local otherwise.
 
@@ -39,6 +39,12 @@ def _truncate_lineage(df: DataFrame, eager: bool) -> DataFrame:
     With ``spark.sparkContext.setCheckpointDir(...)`` (HDFS/S3 path) set,
     iterations persist to reliable storage instead and survive executor
     loss.  Local mode / tests run without a dir and keep the cheap path.
+
+    Returns ``(truncated_df, persist_handle)`` — the handle (or None) must
+    be ``.unpersist()``-ed by the caller once the checkpoint has
+    materialized and the iteration's blocks are no longer read, otherwise
+    every iteration's MEMORY_AND_DISK blocks accumulate for the whole loop
+    (memory/disk pressure on long-diameter graphs).
     """
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
@@ -49,8 +55,9 @@ def _truncate_lineage(df: DataFrame, eager: bool) -> DataFrame:
         # .cleanCheckpoints=true (set in session.py).
         from pyspark import StorageLevel
 
-        return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+        persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+        return persisted.checkpoint(eager=eager), persisted
+    return df.localCheckpoint(eager=eager), None
 
 
 #: Below this many edges the dup graph fits comfortably on the driver and
@@ -128,12 +135,12 @@ def connected_components(
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    sym = _truncate_lineage(sym, eager=True)
+    sym, sym_handle = _truncate_lineage(sym, eager=True)
 
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    labels = _truncate_lineage(labels, eager=False)
+    labels, prev_handle = _truncate_lineage(labels, eager=False)
 
     for _ in range(max_iter):
         # (1) propagate: min label over closed neighborhood
@@ -157,7 +164,7 @@ def connected_components(
         )
         # lazy checkpoint: the convergence-check action below materializes
         # it, truncating lineage with ONE job per iteration instead of two
-        new_labels = _truncate_lineage(new_labels, eager=False)
+        new_labels, new_handle = _truncate_lineage(new_labels, eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -165,10 +172,23 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the count above materialized new_labels' checkpoint AND took the
+        # last read of the previous iteration's blocks — release them now
+        # so cached iterations never accumulate (they'd otherwise pile up
+        # until the ContextCleaner happens to GC the references)
+        if prev_handle is not None:
+            prev_handle.unpersist()
+        prev_handle = new_handle
         labels = new_labels
         if changed == 0:
             break
 
+    # final labels are materialized on reliable storage; cached blocks are
+    # a read-through optimization the caller doesn't need for correctness
+    if prev_handle is not None:
+        prev_handle.unpersist()
+    if sym_handle is not None:
+        sym_handle.unpersist()
     return labels.select(F.col("node").alias("conv_id"), F.col("label").alias("cluster_id"))
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_NUM_BANDS = 32
 DEFAULT_MAX_BUCKET = 256
@@ -86,19 +87,48 @@ def candidate_pairs(
     requiring 2 of b bands suppresses noise ~quadratically while recall
     at the dedup threshold stays ~1 (s=0.8, b=32, r=4 → P[≥2] ≈
     0.999998).  Star edges (structural connectivity) bypass the floor.
-    """
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") > 1)
-    )
-    small = buckets if oversize_policy == "all" else buckets.filter(F.col("m") <= max_bucket)
 
-    pairs_small = (
-        small.select(F.explode("ids").alias("a"), F.col("ids"))
-        .select("a", F.explode("ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-    )
+    Skew safety: bucket sizes are established FIRST (window count over the
+    band/bucket exchange — sort-based, spills, never an array), so
+    ``collect_list`` only ever runs on buckets already proven
+    ``m <= max_bucket``.  A 10^7-member boilerplate flood therefore never
+    materializes a 10^7-element aggregation buffer: its rows flow straight
+    to the star branch as (min_id, id) edges, one row at a time.
+    """
+    if oversize_policy == "all":
+        # no cap → no size split needed; single groupBy (tests/small data)
+        buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") > 1)
+        )
+        pairs_small = (
+            buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+            .select("a", F.explode("ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+        )
+        big_rows = None
+    else:
+        w = Window.partitionBy("band", "bucket")
+        counted = banded.select(
+            "band",
+            "bucket",
+            "id",
+            F.count(F.lit(1)).over(w).alias("m"),
+            F.min("id").over(w).alias("min_id"),
+        ).filter(F.col("m") > 1)
+        # the groupBy below reuses the window's hash partitioning on
+        # (band, bucket) — one exchange total, verified in docs/PLANS.md
+        small = counted.filter(F.col("m") <= max_bucket)
+        pairs_small = (
+            small.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .select(F.explode("ids").alias("a"), F.col("ids"))
+            .select("a", F.explode("ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+        )
+        big_rows = counted.filter(F.col("m") > max_bucket)
+
     if min_collisions > 1:
         pairs_small = (
             pairs_small.groupBy("a", "b")
@@ -107,11 +137,10 @@ def candidate_pairs(
             .select("a", "b")
         )
 
-    if oversize_policy == "star":
-        big = buckets.filter(F.col("m") > max_bucket)
-        pairs_big = (
-            big.select(F.col("ids")[0].alias("a"), F.explode("ids").alias("b"))
-            .filter(F.col("a") < F.col("b"))
+    if oversize_policy == "star" and big_rows is not None:
+        # star edges row-by-row: (bucket min, member) — no array ever built
+        pairs_big = big_rows.filter(F.col("id") != F.col("min_id")).select(
+            F.col("min_id").alias("a"), F.col("id").alias("b")
         )
         pairs = pairs_small.unionByName(pairs_big)
     else:
