@@ -195,6 +195,114 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance channel, driver-visible: pairs with utf-8 BYTE-level
+    Levenshtein similarity >= 0.8 (north_rule's "edit-distance check";
+    byte semantics match DuckDB's levenshtein(), == char-level on ASCII).
+
+    Exactness vs the all-pairs oracle: candidates come from MinHash/LSH
+    (policy "all"), then the exact char-DP decides.  A pair can only reach
+    edit_sim 0.8 with ~80% of its characters in common runs, which forces
+    shingle Jaccard far above the LSH catch floor (the planted data shows
+    the gap plainly: every pair >= 0.8 edit sim sits at >= 0.93, while the
+    best NON-near-dup pair is at 0.47 — measured at sf0.001 and sf0.01).
+    A JVM length-ratio prefilter (lossless: dist >= |len_a - len_b|, so
+    sim <= 1 - diff/max < 0.8 when diff > 0.2*max) keeps the Python DP off
+    obviously-dissimilar candidates.
+    """
+    from wdedup_spark.operators.lsh import minhash_lsh_candidates
+    from wdedup_spark.operators.minhash import add_signatures
+    from wdedup_spark.operators.verify import edit_similarity_bytes_udf
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
+    )
+    signed = add_signatures(
+        docs, "doc", k=K, n_perms=N_PERMS,
+        enable_simhash=False, enable_substring=False,
+    ).drop("doc")
+    cands = minhash_lsh_candidates(signed, n_perms=N_PERMS, n_bands=N_BANDS,
+                                   oversize_policy="all")
+    ta = docs.select(F.col("conv_id").alias("conv_a"), F.col("doc").alias("text_a"))
+    tb = docs.select(F.col("conv_id").alias("conv_b"), F.col("doc").alias("text_b"))
+    la, lb = F.octet_length("text_a"), F.octet_length("text_b")
+    return (
+        cands.join(ta, "conv_a")
+        .join(tb, "conv_b")
+        .filter((la > 0) & (lb > 0))
+        .filter(F.abs(la - lb) <= 0.2 * F.greatest(la, lb))
+        .withColumn("edit_sim", F.round(edit_similarity_bytes_udf("text_a", "text_b"), 6))
+        .filter(F.col("edit_sim") >= 0.8)
+        .select(
+            F.col("conv_a").cast("long").alias("doc_a"),
+            F.col("conv_b").cast("long").alias("doc_b"),
+            "edit_sim",
+        )
+    )
+
+
+#: feature-hashed shingle-histogram dimensionality for the high-threshold
+#: cosine query (buckets = low 11 bits of the md5 shingle hash)
+HIST_DIM = 2048
+
+
+def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-quadratic embedding dedup path (ann.lsh_cosine_pairs),
+    driver-visible at a HIGH threshold — the 100-TB configuration, unlike
+    embedding_dup_pairs whose 0.45 threshold forces the exact quadratic
+    operator.
+
+    Vectors are feature-hashed 3-shingle histograms derived from the
+    documents table (dim 2048, bucket = md5(shingle) mod 2048), entirely
+    JVM-side, so DuckDB mirrors them bit-for-bit.  The data separates
+    cleanly at 0.9: planted near-dups sit at cosine >= 0.94, the best
+    unrelated pair at <= 0.22 (hash-collision noise), so LSH recall at 10
+    bits × 64 tables (per-pair miss ~2e-11 at 0.94) makes the output
+    deterministically equal to the all-pairs oracle.
+    """
+    from wdedup_spark.operators.ann import lsh_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - K, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, K)),
+        )
+    )
+    # low 11 bits of the big-endian first-8-byte md5 = hex chars 14-16 mod 2048
+    feats = docs.filter(F.size(toks) > 0).select("doc_id", F.explode(sh).alias("g"))
+    bkt = F.pmod(F.conv(F.substring(F.md5(F.col("g")), 14, 3), 16, 10).cast("int"), F.lit(HIST_DIM))
+    counts = feats.groupBy("doc_id", bkt.alias("bkt")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    vecs = (
+        counts.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bkt", "c"))).alias("m"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(HIST_DIM - 1)),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+    # 1e-6 slack: raw cosine in [0.9-1e-6, 0.9) rounds UP to the threshold
+    return (
+        lsh_cosine_pairs(
+            vecs, threshold=0.9 - 1e-6, dim=HIST_DIM,
+            n_bits=10, n_tables=64, oversize_policy="all",
+        )
+        .withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= 0.9)
+        .select(
+            F.col("vec_a").cast("long").alias("doc_a"),
+            F.col("vec_b").cast("long").alias("doc_b"),
+            "cosine",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -398,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
+        "edit_dup_pairs": q_edit_dup_pairs,
+        "cosine_highsim_pairs": q_cosine_highsim_pairs,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -684,6 +794,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
         FROM sims_all a JOIN sims_all b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """
+
+    # Edit channel: utf-8 byte-level Levenshtein (DuckDB levenshtein
+    # compares BYTES; strlen is the byte length).  The length-ratio
+    # prefilter is lossless at threshold 0.8 (dist >= |len_a - len_b|
+    # implies sim <= 1 - diff/max < 0.8 whenever diff > 0.2*max).
+    edit_expr = (
+        "round(1.0 - levenshtein(a.text, b.text)::DOUBLE /"
+        " greatest(strlen(a.text), strlen(b.text)), 6)"
+    )
+    sql["edit_dup_pairs"] = f"""
+        SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+               {edit_expr} AS edit_sim
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id
+         AND strlen(a.text) > 0 AND strlen(b.text) > 0
+         AND abs(strlen(a.text) - strlen(b.text)) <= 0.2 * greatest(strlen(a.text), strlen(b.text))
+        WHERE {edit_expr} >= 0.8
+    """
+
+    # High-threshold cosine over feature-hashed shingle histograms: the
+    # dot product only needs SHARED buckets (all other terms are 0), so
+    # the oracle never builds the dense vectors — sum(c_a*c_b) per pair
+    # over a bucket equi-join, norms from a per-doc aggregate.
+    sql["cosine_highsim_pairs"] = f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                      WHEN len(t) < {K} THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct(list_transform(
+                             range(0, len(t) - {K} + 1),
+                             i -> array_to_string(t[i+1:i+{K}], ' ')))
+                 END AS s
+          FROM toks
+        ), f AS (
+          SELECT doc_id, unnest(s) AS g FROM sh
+        ), b AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(g), 1, 16))::UBIGINT % {HIST_DIM})::BIGINT AS bkt,
+                 count(*)::DOUBLE AS c
+          FROM f GROUP BY doc_id, bkt
+        ), norms AS (
+          SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM b GROUP BY doc_id
+        ), dots AS (
+          SELECT x.doc_id AS da, y.doc_id AS db, sum(x.c * y.c) AS dot
+          FROM b x JOIN b y ON x.bkt = y.bkt AND x.doc_id < y.doc_id
+          GROUP BY da, db
+        )
+        SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b,
+               round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = da
+        JOIN norms nb ON nb.doc_id = db
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9
     """
 
     # Longest common verbatim token run via shared 16-gram diagonal

@@ -31,6 +31,8 @@ HEADLINE = [
     "dedup_clusters",
     "simhash_pairs",
     "substring_pairs",
+    "edit_dup_pairs",
+    "cosine_highsim_pairs",
     "token_stats",
     "media_dedup",
     "embedding_dup_pairs",

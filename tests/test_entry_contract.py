@@ -14,6 +14,8 @@ SUBSET = [
     "word_profile",
     "exact_dup_clusters",
     "minhash_lsh_pairs",
+    "edit_dup_pairs",
+    "cosine_highsim_pairs",
     "token_stats",
     "lang_id",
     "doc_fingerprint",

@@ -36,17 +36,39 @@ def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _edit_similarity(ta: np.ndarray, tb: np.ndarray) -> float:
+    """Exact Levenshtein similarity 1 - dist/max_len over two int arrays,
+    row-rolling DP vectorized in numpy.  The loop-carried insertion chain
+    cur[k] = cur[k-1]+1 is resolved with the prefix-min trick: min over
+    j<=k of (cand[j] + (k-j)) = (prefix-min of cand[j]-j) + k."""
+    n, m = len(ta), len(tb)
+    if n == 0 and m == 0:
+        return 1.0
+    if n == 0 or m == 0:
+        return 0.0
+    if m < n:
+        ta, tb, n, m = tb, ta, m, n
+    idx = np.arange(n + 1, dtype=np.int32)
+    prev = idx.copy()
+    for j in range(1, m + 1):
+        cand = np.empty(n + 1, dtype=np.int32)
+        cand[0] = j
+        np.minimum(
+            prev[:-1] + (ta != tb[j - 1]),  # substitution / match
+            prev[1:] + 1,                   # deletion
+            out=cand[1:],
+        )
+        t = cand - idx                      # insertion chain via prefix-min
+        np.minimum.accumulate(t, out=t)
+        prev = t + idx
+    return 1.0 - int(prev[-1]) / max(n, m)
+
+
 @pandas_udf(DoubleType())
 def edit_similarity_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Token-level Levenshtein similarity: 1 - dist/max_len.
-
-    Exact edit distance over token hashes, row-rolling DP vectorized per
-    row in numpy.  The loop-carried insertion chain cur[k] = cur[k-1]+1
-    is resolved with the prefix-min trick: min over j<=k of (cand[j] +
-    (k-j)) = (prefix-min of cand[j]-j) + k.  Runs only on candidate
-    pairs that survived the cheap filters; the north_rule's
-    "edit-distance check".
-    """
+    """Token-level Levenshtein similarity: 1 - dist/max_len over hashed
+    tokens.  Runs only on candidate pairs that survived the cheap
+    filters; the north_rule's "edit-distance check"."""
     out = np.zeros(len(a), dtype=np.float64)
     from wdedup_spark.functions.hashing import TokenHasher
 
@@ -54,30 +76,27 @@ def edit_similarity_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     for i in range(len(a)):
         ta = th.hash_tokens(a.iloc[i].split() if a.iloc[i] else [])
         tb = th.hash_tokens(b.iloc[i].split() if b.iloc[i] else [])
-        n, m = len(ta), len(tb)
-        if n == 0 and m == 0:
-            out[i] = 1.0
-            continue
-        if n == 0 or m == 0:
-            out[i] = 0.0
-            continue
-        if m < n:
-            ta, tb, n, m = tb, ta, m, n
-        idx = np.arange(n + 1, dtype=np.int32)
-        prev = idx.copy()
-        for j in range(1, m + 1):
-            cand = np.empty(n + 1, dtype=np.int32)
-            cand[0] = j
-            np.minimum(
-                prev[:-1] + (ta != tb[j - 1]),  # substitution / match
-                prev[1:] + 1,                   # deletion
-                out=cand[1:],
-            )
-            t = cand - idx                      # insertion chain via prefix-min
-            np.minimum.accumulate(t, out=t)
-            prev = t + idx
-        dist = int(prev[-1])
-        out[i] = 1.0 - dist / max(n, m)
+        out[i] = _edit_similarity(ta, tb)
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def edit_similarity_bytes_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """BYTE-level Levenshtein similarity: 1 - dist/max_bytes over the
+    utf-8 encoding (== character level for ASCII text).
+
+    Byte semantics are deliberate: DuckDB's ``levenshtein()`` compares
+    utf-8 BYTES (verified: 'über'↔'uber' = 2, not 1), so this is the
+    oracle-mirrorable variant of the edit channel — pair it with
+    ``strlen``/``octet_length`` denominators on the SQL side.  Same
+    vectorized DP as the token-level kernel.
+    """
+    out = np.zeros(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        sa, sb = a.iloc[i] or "", b.iloc[i] or ""
+        ta = np.frombuffer(sa.encode("utf-8"), dtype=np.uint8)
+        tb = np.frombuffer(sb.encode("utf-8"), dtype=np.uint8)
+        out[i] = _edit_similarity(ta, tb)
     return pd.Series(out)
 
 
