@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -246,6 +247,25 @@ def q_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_DIM = 2048
 
 
+def _scatter_udf():
+    """sparse (bkt, c) entries → dense dim-2048 double vector, one numpy
+    scatter per row (vectorized Arrow batches)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _scatter(entries: pd.Series) -> pd.Series:
+        res = []
+        for lst in entries:
+            v = np.zeros(HIST_DIM)
+            for d in lst:
+                v[int(d["bkt"])] = d["c"]
+            res.append(v)
+        return pd.Series(res)
+
+    return _scatter
+
+
 def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sub-quadratic embedding dedup path (ann.lsh_cosine_pairs),
     driver-visible at a HIGH threshold — the 100-TB configuration, unlike
@@ -257,8 +277,14 @@ def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side, so DuckDB mirrors them bit-for-bit.  The data separates
     cleanly at 0.9: planted near-dups sit at cosine >= 0.94, the best
     unrelated pair at <= 0.22 (hash-collision noise), so LSH recall at 10
-    bits × 64 tables (per-pair miss ~2e-11 at 0.94) makes the output
-    deterministically equal to the all-pairs oracle.
+    bits × 64 tables with a >= 3-collision floor (per-pair miss ~3e-7 at
+    0.94, where expected collisions are ~20 of 64) makes the output
+    deterministically equal to the all-pairs oracle.  The floor is the
+    cost control: each verified candidate ships two dense dim-2048
+    vectors through the join, and background pairs (cosine ~0.1-0.2)
+    collide in SOME table at rate ~n_tables·p^10 — requiring 3 distinct
+    collisions suppresses that noise ~cubically (measured at sf0.1: 97 s
+    -> seconds).
     """
     from wdedup_spark.operators.ann import lsh_cosine_pairs
 
@@ -276,22 +302,23 @@ def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = feats.groupBy("doc_id", bkt.alias("bkt")).agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
+
+    # sparse → dense via ONE numpy scatter per Arrow batch (a JVM
+    # transform(sequence(0,2047), m[i]) would do 2048 LINEAR map scans per
+    # doc — measured 10x the whole query's budget at sf0.1); checkpointed
+    # because lsh_cosine_pairs consumes the vectors three times (banding +
+    # both verify sides)
     vecs = (
         counts.groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("bkt", "c"))).alias("m"))
-        .select(
-            F.col("doc_id").alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(HIST_DIM - 1)),
-                lambda i: F.coalesce(F.col("m")[i], F.lit(0.0)),
-            ).alias("embedding"),
-        )
+        .agg(F.collect_list(F.struct("bkt", "c")).alias("ent"))
+        .select(F.col("doc_id").alias("vec_id"), _scatter_udf()("ent").alias("embedding"))
+        .localCheckpoint(eager=False)
     )
     # 1e-6 slack: raw cosine in [0.9-1e-6, 0.9) rounds UP to the threshold
     return (
         lsh_cosine_pairs(
             vecs, threshold=0.9 - 1e-6, dim=HIST_DIM,
-            n_bits=10, n_tables=64, oversize_policy="all",
+            n_bits=10, n_tables=64, oversize_policy="all", min_collisions=3,
         )
         .withColumn("cosine", F.round("cosine", 6))
         .filter(F.col("cosine") >= 0.9)

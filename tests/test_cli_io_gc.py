@@ -93,7 +93,7 @@ def test_stop_after_and_resume(spark, tiny_turns, tmp_path):
     --wprof-only debug mode); a later full run resumes from there."""
     wd = str(tmp_path / "staged")
     partial = run_pipeline(spark, tiny_turns, wd, CFG, stop_after="sign")
-    assert set(partial) == {"ledger", "conv", "exact", "members", "signed"}
+    assert set(partial) == {"ledger", "conv", "exact", "signed"}
     assert partial["ledger"].is_committed("sign")
     assert not partial["ledger"].is_committed("candidates")
     full = run_pipeline(spark, tiny_turns, wd, CFG)

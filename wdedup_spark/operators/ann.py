@@ -195,6 +195,7 @@ def lsh_cosine_pairs(
     seed: int = 42,
     max_bucket: int = 4096,
     oversize_policy: str = "star",
+    min_collisions: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold) sub-quadratically:
     random-hyperplane LSH tables → within-bucket pairs → exact cosine
@@ -211,6 +212,14 @@ def lsh_cosine_pairs(
     all-pairs oracle checks.  False positives never survive (exact
     verify); bucket blowups are bounded by max_bucket like every other
     candidate channel.
+
+    min_collisions: require >= this many table collisions before a pair
+    reaches the verify join.  Each verified candidate ships BOTH dense
+    vectors through a shuffle (~2·dim·8 bytes/row), so background noise
+    (n² · q^min_collisions-ish for per-table collision rate q) is the
+    cost driver at many-table configs — a floor of 2-3 suppresses it by
+    orders of magnitude while multi-collision recall for true near-dups
+    stays ~1 (they collide in ~q·n_tables tables in expectation).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -237,7 +246,7 @@ def lsh_cosine_pairs(
     banded = e.select("id", _sigs(F.col("v")).alias("keys")).select(
         "id", F.posexplode("keys").alias("band", "bucket")
     ).select("band", "bucket", "id")
-    cands = candidate_pairs(banded, max_bucket, oversize_policy).select(
+    cands = candidate_pairs(banded, max_bucket, oversize_policy, min_collisions).select(
         F.col("conv_a").alias("vec_a"), F.col("conv_b").alias("vec_b")
     )
     va = e.select(F.col("id").alias("vec_a"), F.col("v").alias("va"))

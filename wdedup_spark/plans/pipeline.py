@@ -44,6 +44,12 @@ from wdedup_spark.operators.substring import common_run_udf
 from wdedup_spark.sources.ledger import StageLedger
 
 
+#: bumped when the stage DAG / committed schemas change shape, so ledgers
+#: written by an incompatible pipeline layout are fenced out on resume
+#: (v2: fingerprint committed by the assemble stage; members stage removed)
+PIPELINE_VERSION = 2
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     k: int = 3                    # shingle width (tokens)
@@ -79,7 +85,8 @@ class PipelineConfig:
     # recompute it insures against), large inputs get the full fan-out
 
     def fence(self) -> str:
-        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+        payload = {"v": PIPELINE_VERSION, **asdict(self)}
+        return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
 def run_pipeline(
@@ -106,7 +113,14 @@ def run_pipeline(
         return stop_after == stage
 
     # -- stage 1: assemble (one shuffle on conv_id) ---------------------------
-    conv = ledger.run(spark, "assemble", lambda: assemble_conversations(turns))
+    # the content fingerprint is computed HERE, in the same pass, and
+    # committed with the conversations: both the exact stage and the
+    # cluster stage's exact edges read it back for free instead of each
+    # re-hashing the whole corpus (the round-2 "members" stage existed
+    # only to cache that second sha2 pass — now unnecessary)
+    conv = ledger.run(
+        spark, "assemble", lambda: add_fingerprint(assemble_conversations(turns), "doc")
+    )
     out["conv"] = conv
     if done("assemble"):
         return out
@@ -122,40 +136,33 @@ def run_pipeline(
     # Member→rep star edges are derived by re-joining on the digest — a
     # plain shuffle join whose skew AQE splits.
     def _exact() -> DataFrame:
-        fp = add_fingerprint(conv, "doc")
-        return fp.groupBy("fp").agg(
+        return conv.groupBy("fp").agg(
             F.min("conv_id").alias("rep_id"),
             F.min("doc").alias("doc"),  # all docs in an fp-group are identical
             F.count(F.lit(1)).alias("n_members"),
         )
 
-    # written range-partitioned on rep_id so the sign stage's ranged
-    # commits partition-prune straight off this output (no staging copy)
-    exact = ledger.run(
-        spark, "exact", _exact, range_key="rep_id", n_ranges=eff_ranges
-    )
+    # written range-partitioned on rep_id (when granular commits are in
+    # play) so the sign stage's ranged commits partition-prune straight
+    # off this output — no staging copy.  At eff_ranges == 1 the range
+    # layout buys nothing; skip it and its partitionBy write.
+    if eff_ranges > 1:
+        exact = ledger.run(
+            spark, "exact", _exact, range_key="rep_id", n_ranges=eff_ranges
+        )
+    else:
+        exact = ledger.run(spark, "exact", _exact)
     out["exact"] = exact
     if done("exact"):
         return out
-    # member → fingerprint map, committed once: without this the exact-edge
-    # derivation would lazily re-fingerprint the WHOLE corpus inside the
-    # cluster stage (measured: cluster wall 3x..10x inflated); with it the
-    # cluster stage is a pure id-only join
-    members = ledger.run(
-        spark, "members",
-        lambda: add_fingerprint(conv, "doc").select("fp", "conv_id"),
+    # exact edges are a pure id/fp join of two COMMITTED outputs (fp rides
+    # along from the assemble stage — nothing re-fingerprints the corpus)
+    exact_edges = (
+        conv.select("fp", F.col("conv_id").alias("conv_b"))
+        .join(exact.filter(F.col("n_members") > 1).select("fp", F.col("rep_id").alias("conv_a")), "fp")
+        .filter(F.col("conv_a") != F.col("conv_b"))
+        .select("conv_a", "conv_b")
     )
-    # members is None only when GC'd — which the GC policy permits only
-    # once the cluster stage (its sole consumer) is already committed
-    exact_edges = None
-    if members is not None:
-        exact_edges = (
-            members.select("fp", F.col("conv_id").alias("conv_b"))
-            .join(exact.filter(F.col("n_members") > 1).select("fp", F.col("rep_id").alias("conv_a")), "fp")
-            .filter(F.col("conv_a") != F.col("conv_b"))
-            .select("conv_a", "conv_b")
-        )
-    out["members"] = members
     # near-dup stages see one representative per distinct document
     reps = exact.select(F.col("rep_id").alias("conv_id"), "doc")
 
@@ -178,13 +185,19 @@ def run_pipeline(
         )
         return df.drop("doc")
 
-    signed = ledger.run_ranged(
-        spark, "sign", lambda: reps, _sign_range, key_col="conv_id",
-        n_ranges=eff_ranges, input_stage="exact",
-        input_select=lambda df: df.select(
-            F.col("rep_id").alias("conv_id"), "doc"
-        ),
-    )
+    if eff_ranges > 1:
+        signed = ledger.run_ranged(
+            spark, "sign", lambda: reps, _sign_range, key_col="conv_id",
+            n_ranges=eff_ranges, input_stage="exact",
+            input_select=lambda df: df.select(
+                F.col("rep_id").alias("conv_id"), "doc"
+            ),
+        )
+    else:
+        # one range == one whole-stage commit: plain run, none of the
+        # fence/staging/per-bucket machinery (toy-scale fast path; the
+        # recompute it would insure against is smaller than its overhead)
+        signed = ledger.run(spark, "sign", lambda: _sign_range(reps, 0))
     out["signed"] = signed
     if done("sign"):
         return out
@@ -350,10 +363,8 @@ def run_pipeline(
 
     if gc:
         # reclaim intermediates whose consumers are all committed (O14):
-        # sign feeds candidates+verify; candidates feeds verify; members
-        # feeds only the cluster stage's exact edges
+        # sign feeds candidates+verify; candidates feeds verify
         ledger.gc("sign")
         ledger.gc("candidates")
-        ledger.gc("members")
 
     return out
