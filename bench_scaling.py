@@ -60,8 +60,10 @@ if "x" in spec:
     # honest N->4N *executors* analog (vs thread scaling in one JVM)
     w, c = spec.split("x")
     total = int(w) * int(c)
-    master = f"local-cluster[{{w}},{{c}},4096]"
-    extra = {{"spark.executor.memory": "3g", "spark.driver.memory": "8g"}}
+    mem_mb = int(os.environ.get("SCALE_EXECUTOR_MEM_MB", "4096"))
+    master = f"local-cluster[{{w}},{{c}},{{mem_mb}}]"
+    extra = {{"spark.executor.memory": f"{{mem_mb - 1024}}m",
+              "spark.driver.memory": "12g"}}
 else:
     total = int(spec)
     master = f"local[{{spec}}]"
@@ -84,10 +86,11 @@ try:
     out = run_pipeline(spark, turns, workdir, PipelineConfig())
     out["clusters"].write.mode("overwrite").format("noop").save()
     wall = time.perf_counter() - t0
+    stages = {{s: m["wall_s"] for s, m in out["ledger"].metrics().items()}}
 finally:
     shutil.rmtree(workdir, ignore_errors=True)
 print(json.dumps({{"spec": spec, "cpus": int(cpus), "wall_s": round(wall, 3),
-                   "n_turns": n_turns,
+                   "n_turns": n_turns, "stages": stages,
                    "turns_per_sec": round(n_turns / wall, 1)}}))
 """
 
