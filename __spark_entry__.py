@@ -83,10 +83,13 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signed_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate scaffolding: documents → fused shingle+MinHash
+    signatures → LSH candidates (policy "all").  Returns (signed, cands);
+    every driver query that needs MinHash candidates goes through here so
+    the shingle/signature config lives in exactly one place."""
     from wdedup_spark.operators.lsh import minhash_lsh_candidates
     from wdedup_spark.operators.minhash import add_signatures
-    from wdedup_spark.operators.verify import verify_pairs
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
@@ -99,6 +102,13 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("doc").localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(signed, n_perms=N_PERMS, n_bands=N_BANDS,
                                    oversize_policy="all")
+    return signed, cands
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wdedup_spark.operators.verify import verify_pairs
+
+    signed, cands = _signed_candidates(spark, sf_dir)
     return verify_pairs(cands, signed, threshold=JACCARD_T)
 
 
@@ -111,20 +121,29 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _tokens_expr():
+    """Whitespace tokens of the text column (empty tokens filtered) —
+    must stay aligned with the oracle CTEs' string_split_regex."""
+    return F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _shingle_expr(toks):
+    """Distinct k=K shingle STRINGS as a JVM Column (slice clamps for
+    docs shorter than K — same edge semantics as the SQL CASE)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - K, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, K)),
+        )
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact 3-shingle Jaccard >= 0.5 over a bounded id range —
     the O(n²) baseline the LSH path approximates.  JVM-side set algebra
     (array_intersect), no UDF."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - K, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i + 1, K)
-            ),
-        )
-    )
+    sh = _shingle_expr(_tokens_expr())
     d = docs.select(F.col("doc_id"), sh.alias("sh"))
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -211,19 +230,12 @@ def q_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim <= 1 - diff/max < 0.8 when diff > 0.2*max) keeps the Python DP off
     obviously-dissimilar candidates.
     """
-    from wdedup_spark.operators.lsh import minhash_lsh_candidates
-    from wdedup_spark.operators.minhash import add_signatures
     from wdedup_spark.operators.verify import edit_similarity_bytes_udf
 
+    _signed, cands = _signed_candidates(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
     )
-    signed = add_signatures(
-        docs, "doc", k=K, n_perms=N_PERMS,
-        enable_simhash=False, enable_substring=False,
-    ).drop("doc")
-    cands = minhash_lsh_candidates(signed, n_perms=N_PERMS, n_bands=N_BANDS,
-                                   oversize_policy="all")
     ta = docs.select(F.col("conv_id").alias("conv_a"), F.col("doc").alias("text_a"))
     tb = docs.select(F.col("conv_id").alias("conv_b"), F.col("doc").alias("text_b"))
     la, lb = F.octet_length("text_a"), F.octet_length("text_b")
@@ -289,13 +301,8 @@ def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wdedup_spark.operators.ann import lsh_cosine_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - K, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, K)),
-        )
-    )
+    toks = _tokens_expr()
+    sh = _shingle_expr(toks)
     # low 11 bits of the big-endian first-8-byte md5 = hex chars 14-16 mod 2048
     feats = docs.filter(F.size(toks) > 0).select("doc_id", F.explode(sh).alias("g"))
     bkt = F.pmod(F.conv(F.substring(F.md5(F.col("g")), 14, 3), 16, 10).cast("int"), F.lit(HIST_DIM))

@@ -40,10 +40,15 @@ def main() -> None:
     n_edges = edges.count()  # materialize outside timing
     t0 = time.perf_counter()
     comp = cluster.connected_components(edges)
+    # full-result check: BOTH no node may be dropped (every node appears
+    # in an edge, so all n_nodes must come back labeled) and no present
+    # row may carry a wrong label
+    n_out = comp.count()
     bad = comp.filter(
         F.col("cluster_id") != (F.col("conv_id") - F.pmod(F.col("conv_id"), F.lit(seg)))
     ).count()
     wall = time.perf_counter() - t0
+    bad += abs(n_out - n_nodes)
     print(json.dumps({
         "n_nodes": n_nodes, "n_edges": n_edges, "segment_diameter": seg,
         "strategy": cluster.LAST_RUN_INFO.get("strategy"),

@@ -118,11 +118,15 @@ def exact_cosine_pairs(
         F.col("ba") <= F.col("bb"),
     )
     npairs = nblocks * (nblocks + 1) // 2
+    # ~1 tile per task bounds pandas-batch memory to ~two blocks; the
+    # clamp only guards the JVM int ceiling (tasks == tiles is the honest
+    # work unit in the quadratic regime — per-tile GEMM dwarfs task
+    # overhead; size block_size so npairs stays sane, per the docstring)
+    n_parts = int(min(npairs, (1 << 30)))
     joined = (
         bp.join(blocks.select(F.col("block").alias("ba"), F.col("members").alias("ma")), "ba")
         .join(blocks.select(F.col("block").alias("bb"), F.col("members").alias("mb")), "bb")
-        # ~1 tile per task: bounds pandas-batch memory to ~two blocks
-        .repartition(npairs, "ba", "bb")
+        .repartition(n_parts, "ba", "bb")
     )
     t = float(threshold)
 

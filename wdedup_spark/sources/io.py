@@ -14,21 +14,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def iceberg_available(spark: SparkSession) -> bool:
-    """True if an Iceberg catalog is configured and loadable."""
+def iceberg_available(spark: SparkSession, identifier: str | None = None) -> bool:
+    """True if an Iceberg catalog is configured and loadable.
+
+    With ``identifier`` (``catalog.db.tbl``), answers for THAT
+    identifier's catalog prefix — arbitrary catalog names work (the
+    production recipe uses e.g. ``lake.db.turns``); without it, answers
+    whether the session-default ``spark_catalog`` is overridden.
+    """
     try:
-        return bool(spark.conf.get("spark.sql.catalog.spark_catalog", None)) or any(
-            k.startswith("spark.sql.catalog.") for k in ("spark.sql.catalog.local",)
-            if spark.conf.get(k, None)
-        )
+        if identifier and "." in identifier:
+            cat = identifier.split(".", 1)[0]
+            if spark.conf.get(f"spark.sql.catalog.{cat}", None):
+                return True
+        return bool(spark.conf.get("spark.sql.catalog.spark_catalog", None))
     except Exception:
         return False
 
 
 def read_turns(spark: SparkSession, source: str) -> DataFrame:
     """Read the transcript turns table: an Iceberg table name
-    (``catalog.db.tbl``) when a catalog is configured, else a parquet path."""
-    if "/" not in source and iceberg_available(spark):
+    (``catalog.db.tbl``) when its catalog is configured, else a parquet
+    path."""
+    if "/" not in source and iceberg_available(spark, source):
         return spark.read.format("iceberg").load(source)
     return spark.read.parquet(source)
 
