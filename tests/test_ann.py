@@ -127,3 +127,31 @@ def test_lsh_bucketed_recall(spark, emb):
     # multi-probe LSH over clustered data: recall@5 well above random
     hits = sum(len(by_q.get(q, set()) & set(want[q])) for q in range(20))
     assert hits / (20 * 5) >= 0.6, f"LSH recall {hits / 100}"
+
+
+def test_ivf_topk_recall_and_exact_degradation(spark, emb):
+    from wdedup_spark.operators.ann import ivf_topk
+
+    df, mat = emb
+    queries = df.filter("vec_id < 20")
+    want = _numpy_topk(mat, range(20), 5)
+
+    # n_probe == n_lists must be EXACT brute force (ranks identical;
+    # score is cosine because vectors are unit-normalized first)
+    exact = ivf_topk(df, queries, dim=DIM, k=5, n_lists=8, n_probe=8, n_iter=2)
+    by_q = {}
+    for r in exact.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in range(20):
+        assert [n for _, n in sorted(by_q[qid])] == want[qid]
+
+    # probing 4 of 16 lists on the clustered fixture keeps high recall
+    approx = ivf_topk(df, queries, dim=DIM, k=5, n_lists=16, n_probe=4, n_iter=3)
+    hit = tot = 0
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid in range(20):
+        hit += len(got.get(qid, set()) & set(want[qid]))
+        tot += 5
+    assert hit / tot >= 0.9, f"IVF recall {hit/tot}"

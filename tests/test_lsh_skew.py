@@ -83,3 +83,60 @@ def test_min_collisions_floor_with_star(spark):
     )
     got = {(r["conv_a"], r["conv_b"]) for r in pairs.collect()}
     assert got == {(7, 8)} | {(20, i) for i in range(21, 40)}
+
+
+def _brute_pairs(rows, max_bucket, policy, min_collisions=1):
+    """Reference semantics of candidate_pairs in plain Python."""
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for band, bucket, i in rows:
+        buckets[(band, bucket)].append(i)
+    small_hits = defaultdict(int)
+    star = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        if len(ids) < 2:
+            continue
+        if policy != "all" and len(ids) > max_bucket:
+            if policy == "star":
+                star |= {(ids[0], b) for b in ids[1:]}
+            continue
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                small_hits[(ids[x], ids[y])] += 1
+    small = {p for p, n in small_hits.items() if n >= min_collisions}
+    return small | star
+
+
+def test_windowed_path_equals_bruteforce_random(spark):
+    """Property check: the window-gated implementation is semantically
+    identical to the straightforward per-bucket enumeration across random
+    bucket structures, all policies, and collision floors."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(6):
+        rows = [
+            (rng.randrange(4), rng.randrange(12), rng.randrange(40))
+            for _ in range(rng.randrange(30, 220))
+        ]
+        # banded input is one row per (band, id): dedup like band_buckets does
+        rows = sorted({(b, bkt, i) for b, bkt, i in rows})
+        # drop ids appearing twice in one band with different buckets is
+        # impossible in real banding; keep first occurrence per (band, id)
+        seen = set()
+        clean = []
+        for b, bkt, i in rows:
+            if (b, i) not in seen:
+                seen.add((b, i))
+                clean.append((b, bkt, i))
+        df = _banded(spark, clean)
+        for policy in ("star", "drop", "all"):
+            for mc in (1, 2):
+                got = {
+                    (r["conv_a"], r["conv_b"])
+                    for r in candidate_pairs(df, 5, policy, min_collisions=mc).collect()
+                }
+                want = _brute_pairs(clean, 5, policy, mc)
+                assert got == want, (trial, policy, mc)
