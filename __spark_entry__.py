@@ -56,6 +56,19 @@ def q_find_first_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wdedup.word_dedup_pipeline(docs)
 
 
+def q_find_top_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-TopN (the reference README's anticipated extension of
+    wfindfirst, /root/reference/README.md:83): ten earliest
+    never-repeated words.  Deterministic: first_ord is a unique position
+    per word."""
+    from wdedup_spark.operators import wdedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return wdedup.find_top_unique(
+        wdedup.word_profile(wdedup.tokenize(docs)), n=10
+    )
+
+
 def q_singular_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 singleton filter over the word profile."""
     from wdedup_spark.operators import wdedup
@@ -466,6 +479,29 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP over (day, event_type) — per-cell,
+    per-day subtotal, and grand total in ONE pass (Spark expands the
+    grouping sets inside a single hash aggregate; no self-union of three
+    aggregations).  NULL grouping keys are canonicalized to 'ALL' on both
+    engines so the driver's value-hash sees identical rows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date").cast("string"))
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user: window lag +
     cumulative session counter."""
@@ -533,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_profile": q_word_profile,
         "find_first_unique": q_find_first_unique,
+        "find_top_unique": q_find_top_unique,
         "singular_words": q_singular_words,
         "exact_dup_clusters": q_exact_dup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -550,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "bpe_token_counts": q_bpe_token_counts,
         "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
         "events_sessions": q_events_sessions,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -603,6 +641,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["singular_words"] = _WORDS_CTE + "SELECT word, first_ord FROM profile WHERE n = 1"
+
+    sql["find_top_unique"] = _WORDS_CTE + (
+        "SELECT word, first_ord FROM profile WHERE n = 1 ORDER BY first_ord LIMIT 10"
+    )
 
     sql["exact_dup_clusters"] = """
         SELECT min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_members
@@ -747,6 +789,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+
+    sql["events_rollup"] = """
+        SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+               coalesce(event_type, 'ALL') AS event_type,
+               count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (date_trunc('day', ts), event_type)
     """
 
     sql["events_sessions"] = """

@@ -38,6 +38,7 @@ HEADLINE = [
     "embedding_dup_pairs",
     "ann_topk",
     "events_hourly",
+    "events_rollup",
     "events_sessions",
     "revenue_by_nation",
     "pricing_summary",

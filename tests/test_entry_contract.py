@@ -20,6 +20,8 @@ SUBSET = [
     "lang_id",
     "doc_fingerprint",
     "events_hourly",
+    "events_rollup",
+    "find_top_unique",
     "revenue_by_nation",
 ]
 

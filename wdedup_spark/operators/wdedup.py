@@ -93,6 +93,22 @@ def find_first_unique(profile: DataFrame) -> DataFrame:
     )
 
 
+def find_top_unique(profile: DataFrame, n: int = 10) -> DataFrame:
+    """Find-TopN — the generalization the reference's README anticipates
+    as future work (/root/reference/README.md:83: alternative final scans
+    over the merged profile; wfindfirst is deliberately un-logged for
+    exactly this reason, include/wdedup.hpp:157-163).  Top-n non-repeated
+    words by first occurrence: same plan shape as O10 with limit(n) —
+    Spark's TakeOrderedAndProject does the per-partition top-n + driver
+    merge, so no global sort materializes."""
+    return (
+        singular_filter(profile)
+        .orderBy("first_ord")
+        .limit(n)
+        .select("word", "first_ord")
+    )
+
+
 def word_dedup_pipeline(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """wprof → wmerge → wfindfirst end-to-end (src/main.cpp:208-222)."""
     return find_first_unique(word_profile(tokenize(df, text_col, id_col)))
