@@ -484,14 +484,20 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day subtotal, and grand total in ONE pass (Spark expands the
     grouping sets inside a single hash aggregate; no self-union of three
     aggregations).  NULL grouping keys are canonicalized to 'ALL' on both
-    engines so the driver's value-hash sees identical rows."""
+    engines so the driver's value-hash sees identical rows.  The sum is
+    computed in DECIMAL on both engines: the grand-total row sums the
+    WHOLE table, where double partial-aggregation order differs between
+    engines by ~1 ulp — decimal addition is exact and order-independent,
+    so the rounded value can never straddle a rounding boundary."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date").cast("string"))
         .rollup("day", "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
@@ -791,10 +797,13 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
 
+    # decimal sum: exact, summation-order-independent — the grand-total
+    # row would otherwise be a ~1-ulp double coin-flip between engines
     sql["events_rollup"] = """
         SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
                coalesce(event_type, 'ALL') AS event_type,
-               count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+               count(*)::BIGINT AS n_events,
+               round(sum(value::DECIMAL(28,6)), 4)::DOUBLE AS sum_value
         FROM events
         GROUP BY ROLLUP (date_trunc('day', ts), event_type)
     """

@@ -138,7 +138,7 @@ def test_ivf_topk_recall_and_exact_degradation(spark, emb):
 
     # n_probe == n_lists must be EXACT brute force (ranks identical;
     # score is cosine because vectors are unit-normalized first)
-    exact = ivf_topk(df, queries, dim=DIM, k=5, n_lists=8, n_probe=8, n_iter=2)
+    exact = ivf_topk(df, queries, k=5, n_lists=8, n_probe=8, n_iter=2)
     by_q = {}
     for r in exact.collect():
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
@@ -146,7 +146,7 @@ def test_ivf_topk_recall_and_exact_degradation(spark, emb):
         assert [n for _, n in sorted(by_q[qid])] == want[qid]
 
     # probing 4 of 16 lists on the clustered fixture keeps high recall
-    approx = ivf_topk(df, queries, dim=DIM, k=5, n_lists=16, n_probe=4, n_iter=3)
+    approx = ivf_topk(df, queries, k=5, n_lists=16, n_probe=4, n_iter=3)
     hit = tot = 0
     got = {}
     for r in approx.collect():

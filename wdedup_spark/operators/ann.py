@@ -267,7 +267,6 @@ def lsh_cosine_pairs(
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    dim: int,
     k: int = 5,
     n_lists: int = 64,
     n_probe: int = 4,
@@ -293,7 +292,11 @@ def ivf_topk(
     Scale notes: centroids are a broadcast (n_lists·dim·8 bytes); the
     probe join is a plain shuffle join on the list id whose skew AQE
     splits; all distance math is vectorized numpy over unit-normalized
-    vectors (cosine == dot).
+    vectors (cosine == dot).  The normalized corpus is PERSISTED for the
+    operator's lifetime: init, each Lloyd round, and the final index
+    assignment are separate eager actions that would otherwise each
+    re-scan + re-normalize the corpus (n_iter+2 full scans).  Dimension
+    is taken from the vectors themselves.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -304,7 +307,7 @@ def ivf_topk(
             F.transform(_as_double(F.col(vec_col)), lambda x: x / n).alias("v"),
         )
 
-    c = _unit(corpus, id_col, "neighbor_id")
+    c = _unit(corpus, id_col, "neighbor_id").persist()
     q = _unit(queries, id_col, "query_id")
 
     # deterministic sample → driver: n_lists × dim doubles, never the corpus
@@ -362,11 +365,13 @@ def ivf_topk(
             F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x),
         )
     )
+    # no dedup aggregate needed (unlike lsh_bucketed_topk's overlapping
+    # multi-probe buckets): each corpus vector lives in exactly one list
+    # and a query's probe lists are distinct, so (query, neighbor) pairs
+    # are already unique — straight to the window rank
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        scored.groupBy("query_id", "neighbor_id")
-        .agg(F.max("score").alias("score"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("score", 9).alias("score"), "rank")
     )

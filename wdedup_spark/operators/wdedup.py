@@ -84,13 +84,8 @@ def find_first_unique(profile: DataFrame) -> DataFrame:
     """O10 argmin scan (src/wfindfirst.cpp:35-60): the first non-repeated
     word by first occurrence.  Returns a 1-row DataFrame (0 rows if every
     word repeats — the reference prints "" in that case,
-    src/wfindfirst.cpp:44,59)."""
-    return (
-        singular_filter(profile)
-        .orderBy("first_ord")
-        .limit(1)
-        .select("word", "first_ord")
-    )
+    src/wfindfirst.cpp:44,59).  The n=1 case of :func:`find_top_unique`."""
+    return find_top_unique(profile, n=1)
 
 
 def find_top_unique(profile: DataFrame, n: int = 10) -> DataFrame:
