@@ -97,3 +97,66 @@ def test_cc_distributed_with_reliable_checkpoint(spark, tmp_path):
         # later tests in the session fall back to localCheckpoint only if
         # no dir is set; leaving it set is safe (strictly more durable)
         pass
+
+
+def test_incremental_update_equals_full_recompute(spark):
+    """incremental_update over (existing assignment + new batch) must match
+    clustering the whole graph from scratch — including new docs bridging
+    two existing clusters (both relabel to the joint min)."""
+    import random
+
+    from wdedup_spark.operators.cluster import cluster_assignments, incremental_update
+
+    rng = random.Random(13)
+    for trial in range(4):
+        old_ids = list(range(0, 60))
+        old_edges = [
+            (a, b)
+            for a, b in {
+                tuple(sorted(rng.sample(old_ids, 2))) for _ in range(40)
+            }
+        ]
+        new_ids = list(range(100, 130))
+        # new-new, new-old, and old-old (re-verified) edges all appear
+        new_edges = (
+            [tuple(sorted(rng.sample(new_ids, 2))) for _ in range(10)]
+            + [(rng.choice(old_ids), rng.choice(new_ids)) for _ in range(12)]
+            + [tuple(sorted(rng.sample(old_ids, 2))) for _ in range(3)]
+        )
+        new_edges = [(a, b) for a, b in set(new_edges) if a != b]
+
+        old_ids_df = spark.createDataFrame([(i,) for i in old_ids], "conv_id long")
+        old_edges_df = spark.createDataFrame(old_edges or [(0, 0)], "conv_a long, conv_b long")
+        if not old_edges:
+            old_edges_df = old_edges_df.filter("conv_a != conv_b")
+        existing = cluster_assignments(old_ids_df, old_edges_df)
+
+        new_ids_df = spark.createDataFrame([(i,) for i in new_ids], "conv_id long")
+        new_edges_df = spark.createDataFrame(new_edges, "conv_a long, conv_b long")
+        got = {
+            (r["conv_id"], r["cluster_id"])
+            for r in incremental_update(existing, new_edges_df, new_ids_df).collect()
+        }
+
+        all_ids_df = spark.createDataFrame([(i,) for i in old_ids + new_ids], "conv_id long")
+        all_edges_df = spark.createDataFrame(
+            old_edges + new_edges, "conv_a long, conv_b long"
+        )
+        want = {
+            (r["conv_id"], r["cluster_id"])
+            for r in cluster_assignments(all_ids_df, all_edges_df).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_incremental_update_no_new_edges(spark):
+    from wdedup_spark.operators.cluster import incremental_update
+
+    existing = spark.createDataFrame([(1, 1), (2, 1), (5, 5)], "conv_id long, cluster_id long")
+    new_ids = spark.createDataFrame([(9,), (10,)], "conv_id long")
+    empty = spark.createDataFrame([], "conv_a long, conv_b long")
+    got = {
+        (r["conv_id"], r["cluster_id"])
+        for r in incremental_update(existing, empty, new_ids).collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 5), (9, 9), (10, 10)}

@@ -202,6 +202,65 @@ def connected_components(
     return labels.select(F.col("node").alias("conv_id"), F.col("label").alias("cluster_id"))
 
 
+def incremental_update(
+    existing: DataFrame,
+    new_edges: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Merge a NEW batch into an existing assignment without re-clustering
+    the corpus — the daily-increment path a 100 TB pipeline actually runs.
+
+    Inputs: ``existing`` = committed (conv_id, cluster_id) assignments,
+    ``new_edges`` = verified dup pairs touching the new batch (new↔new and
+    new↔old), ``new_ids`` = every id in the new batch.  Output: the full
+    updated assignment (old ∪ new ids).
+
+    Equivalence argument (tested against full recompute): each existing
+    cluster is contracted to its REPRESENTATIVE node — valid because
+    cluster_id == min(member ids), so (a) connectivity through any old
+    member is preserved by routing edges to its rep, and (b) the min over
+    a merged component of reps and new ids equals the min over all
+    underlying members.  CC therefore runs on a graph whose size is
+    O(new edges + touched clusters), not O(corpus); new docs bridging two
+    old clusters correctly relabel BOTH (all members move to the joint
+    min), exactly as a full recompute would.
+    """
+    ex = existing.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_rep"))
+    # route each new edge endpoint to its existing rep (new ids pass through)
+    routed = (
+        new_edges.select("conv_a", "conv_b")
+        .join(ex.withColumnRenamed("_id", "conv_a").withColumnRenamed("_rep", "rep_a"), "conv_a", "left")
+        .join(ex.withColumnRenamed("_id", "conv_b").withColumnRenamed("_rep", "rep_b"), "conv_b", "left")
+        .select(
+            F.coalesce("rep_a", "conv_a").alias("conv_a"),
+            F.coalesce("rep_b", "conv_b").alias("conv_b"),
+        )
+        .filter(F.col("conv_a") != F.col("conv_b"))
+    )
+    comp = connected_components(routed)  # (conv_id=node, cluster_id=new label)
+    relabel = comp.select(F.col("conv_id").alias("_rep"), F.col("cluster_id").alias("_new"))
+    # old assignments: relabel clusters whose rep was touched, keep the rest
+    updated_old = (
+        ex.join(relabel, "_rep", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_new", "_rep").alias(cluster_col),
+        )
+    )
+    # new ids: component label if touched by an edge, else self-cluster
+    updated_new = (
+        new_ids.select(F.col(id_col).alias("conv_id"))
+        .join(comp.withColumnRenamed("cluster_id", "_new"), "conv_id", "left")
+        .select(
+            F.col("conv_id").alias(id_col),
+            F.coalesce("_new", F.col("conv_id")).alias(cluster_col),
+        )
+    )
+    return updated_old.unionByName(updated_new)
+
+
 def cluster_assignments(
     all_ids: DataFrame,
     edges: DataFrame,
