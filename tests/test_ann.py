@@ -155,3 +155,49 @@ def test_ivf_topk_recall_and_exact_degradation(spark, emb):
         hit += len(got.get(qid, set()) & set(want[qid]))
         tot += 5
     assert hit / tot >= 0.9, f"IVF recall {hit/tot}"
+
+
+def test_ivf_topk_leaves_no_cached_blocks(spark, emb):
+    """VERDICT r3 #4: ivf_topk must unpersist its normalized corpus before
+    returning — repeated calls in a long-running driver must not accumulate
+    MEMORY_AND_DISK blocks.  (The eager localCheckpoint of the index is the
+    one deliberate exception: it IS the returned data and is released with
+    the DataFrame, not leaked per-call as a hidden side effect — we assert
+    the *persist* count, which checkpointed RDDs don't enter via cache().)"""
+    from wdedup_spark.operators.ann import ivf_topk
+
+    df, _ = emb
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    out = ivf_topk(df, df.filter("vec_id < 3"), k=3, n_lists=4, n_probe=2, n_iter=1)
+    out.write.mode("overwrite").format("noop").save()
+    after = jsc.getPersistentRDDs().size()
+    # the only allowed growth is the localCheckpoint backing the RETURNED
+    # index (1 RDD); the persisted corpus must be gone
+    assert after - base <= 1, f"leaked cached RDDs: {after - base}"
+
+
+def test_ivf_topk_zero_norm_vector_is_harmless(spark):
+    """ADVICE r3: an all-zero embedding must not emit NaNs into centroid
+    training or scores — it scores 0 against everything and ranks last."""
+    import pandas as pd
+
+    from wdedup_spark.operators.ann import ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.standard_normal(8).tolist() for _ in range(20)]
+    vecs[5] = [0.0] * 8  # corpus zero vector
+    pdf = pd.DataFrame({"vec_id": range(20), "embedding": vecs})
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ])
+    df = spark.createDataFrame(pdf, schema=schema)
+    rows = ivf_topk(df, df.filter("vec_id < 3"), k=19, n_lists=2, n_probe=2, n_iter=2).collect()
+    assert rows, "result must not be empty"
+    assert all(r["score"] == r["score"] for r in rows), "NaN score leaked"
+    # the zero vector scores exactly 0 against every query
+    for r in rows:
+        if r["neighbor_id"] == 5:
+            assert r["score"] == 0.0

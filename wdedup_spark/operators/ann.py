@@ -118,11 +118,18 @@ def exact_cosine_pairs(
         F.col("ba") <= F.col("bb"),
     )
     npairs = nblocks * (nblocks + 1) // 2
-    # ~1 tile per task bounds pandas-batch memory to ~two blocks; the
-    # clamp only guards the JVM int ceiling (tasks == tiles is the honest
-    # work unit in the quadratic regime — per-tile GEMM dwarfs task
-    # overhead; size block_size so npairs stays sane, per the docstring)
-    n_parts = int(min(npairs, (1 << 30)))
+    # Partition count comes from the CLUSTER's parallelism, not the tile
+    # count: at nblocks ~10^4 the tile table is ~5×10^7 rows and asking the
+    # hash partitioner for that many partitions is a driver-side scheduler
+    # and memory bottleneck long before any executor sees data (ADVICE r3).
+    # Several tiles per partition is fine — mapInPandas streams Arrow
+    # batches, so per-task memory is ~2 blocks × the rows per batch (capped
+    # by spark.sql.execution.arrow.maxRecordsPerBatch), and hash collisions
+    # already made the old 1-tile-per-partition bound probabilistic.  At
+    # huge n the docstring's sizing rule (B ~ √(n·target_tile)) keeps both
+    # npairs and tiles-per-partition sane.
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    n_parts = int(min(npairs, max(par * 8, 64)))
     joined = (
         bp.join(blocks.select(F.col("block").alias("ba"), F.col("members").alias("ma")), "ba")
         .join(blocks.select(F.col("block").alias("bb"), F.col("members").alias("mb")), "bb")
@@ -292,16 +299,24 @@ def ivf_topk(
     Scale notes: centroids are a broadcast (n_lists·dim·8 bytes); the
     probe join is a plain shuffle join on the list id whose skew AQE
     splits; all distance math is vectorized numpy over unit-normalized
-    vectors (cosine == dot).  The normalized corpus is PERSISTED for the
-    operator's lifetime: init, each Lloyd round, and the final index
+    vectors (cosine == dot).  The normalized corpus is persisted only for
+    the operator's DURATION: init, each Lloyd round, and the final index
     assignment are separate eager actions that would otherwise each
-    re-scan + re-normalize the corpus (n_iter+2 full scans).  Dimension
+    re-scan + re-normalize the corpus (n_iter+2 full scans); the final
+    index is then checkpointed eagerly and the corpus unpersisted, so the
+    call leaves NO cached blocks behind (asserted in tests).  Dimension
     is taken from the vectors themselves.
     """
     from pyspark.sql.functions import pandas_udf
 
     def _unit(df, idc, out_id):
-        n = F.sqrt(F.aggregate(_as_double(F.col(vec_col)), F.lit(0.0), lambda s, x: s + x * x))
+        # zero-norm guard (ADVICE r3): an all-zero embedding would divide
+        # 0/0 → NaN components that poison centroid training and every
+        # score for that row; dividing by 1 instead keeps it a zero vector
+        # (dot 0 with everything — ranked last, deterministically), the
+        # same convention as the norms[norms == 0] = 1.0 centroid guard
+        raw = F.sqrt(F.aggregate(_as_double(F.col(vec_col)), F.lit(0.0), lambda s, x: s + x * x))
+        n = F.when(raw == 0.0, F.lit(1.0)).otherwise(raw)
         return df.select(
             F.col(idc).alias(out_id),
             F.transform(_as_double(F.col(vec_col)), lambda x: x / n).alias("v"),
@@ -353,7 +368,15 @@ def ivf_topk(
         order = np.argsort(-(m @ final_cents.T), axis=1)[:, :n_probe]
         return pd.Series(list(order.astype(np.int32)))
 
-    indexed = c.select("neighbor_id", "v", _assign_final("v").alias("lst"))
+    # materialize the final index EAGERLY, then release the persisted
+    # corpus: without this the returned DataFrame keeps the persist handle
+    # alive for the whole session and repeated ivf_topk calls accumulate
+    # MEMORY_AND_DISK corpora (the leak class ADVICE r2/r3 flagged — same
+    # fix as connected_components' per-iteration unpersist)
+    indexed = c.select("neighbor_id", "v", _assign_final("v").alias("lst")).localCheckpoint(
+        eager=True
+    )
+    c.unpersist()
     probed = q.select(
         "query_id", F.col("v").alias("qv"), F.explode(_probes("v")).alias("lst")
     )
