@@ -142,7 +142,14 @@ def _tokens_expr():
 
 def _shingle_expr(toks):
     """Distinct k=K shingle STRINGS as a JVM Column (slice clamps for
-    docs shorter than K — same edge semantics as the SQL CASE)."""
+    docs shorter than K — same edge semantics as the SQL CASE).
+
+    CALLER CONTRACT: ``toks`` must be a MATERIALIZED column (project
+    ``_tokens_expr()`` with an alias first), never the raw split
+    expression — a non-column expression referenced inside the
+    higher-order ``transform`` lambda is re-evaluated per shingle
+    position, turning tokenization O(len) into O(len²) per doc
+    (measured 6× slower at sf0.1)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - K, F.lit(0))),
@@ -156,8 +163,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(n²) baseline the LSH path approximates.  JVM-side set algebra
     (array_intersect), no UDF."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sh = _shingle_expr(_tokens_expr())
-    d = docs.select(F.col("doc_id"), sh.alias("sh"))
+    d = docs.select("doc_id", _tokens_expr().alias("toks")).select(
+        F.col("doc_id"), _shingle_expr(F.col("toks")).alias("sh")
+    )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -310,43 +318,6 @@ def q_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_DIM = 2048
 
 
-def _scatter_udf():
-    """sparse parallel (bkts, cs) arrays → dense dim-2048 double vector via
-    ONE batch-level numpy scatter (``flat[row*DIM + bkt] = c``).  The two
-    arrays come from the same groupBy aggregate, so element order aligns;
-    buckets are distinct per doc (pre-grouped), so plain assignment — no
-    ``np.add.at`` — is exact.  Taking numeric ARRAYS instead of an array of
-    (bkt, c) structs matters: Arrow hands numeric lists to pandas as numpy
-    slices (zero-copy-ish), while struct lists arrive as per-entry Python
-    dicts — the per-row-per-entry dict loop was the r3 bench's single
-    biggest Python cost (VERDICT r3 #5)."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<double>")
-    def _scatter(bkts: pd.Series, cs: pd.Series) -> pd.Series:
-        n = len(bkts)
-        if n == 0:
-            return pd.Series([], dtype=object)
-        lens = np.fromiter((len(b) for b in bkts), dtype=np.int64, count=n)
-        row = np.repeat(np.arange(n, dtype=np.int64), lens)
-        b = (
-            np.concatenate([np.asarray(x, dtype=np.int64) for x in bkts])
-            if lens.sum()
-            else np.empty(0, np.int64)
-        )
-        c = (
-            np.concatenate([np.asarray(x, dtype=np.float64) for x in cs])
-            if lens.sum()
-            else np.empty(0, np.float64)
-        )
-        flat = np.zeros(n * HIST_DIM)
-        flat[row * HIST_DIM + b] = c
-        return pd.Series(list(flat.reshape(n, HIST_DIM)))
-
-    return _scatter
-
-
 def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sub-quadratic embedding dedup path (ann.lsh_cosine_pairs),
     driver-visible at a HIGH threshold — the 100-TB configuration, unlike
@@ -370,37 +341,38 @@ def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions suppresses that noise ~cubically (measured at sf0.1: 97 s
     -> seconds).
     """
-    from wdedup_spark.operators.ann import lsh_cosine_pairs
+    from wdedup_spark.operators.ann import lsh_cosine_pairs_sparse
 
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens_expr()
-    sh = _shingle_expr(toks)
+    tok_df = docs.select("doc_id", _tokens_expr().alias("toks")).filter(
+        F.size("toks") > 0
+    )
     # low 11 bits of the big-endian first-8-byte md5 = hex chars 14-16 mod 2048
-    feats = docs.filter(F.size(toks) > 0).select("doc_id", F.explode(sh).alias("g"))
+    feats = tok_df.select(
+        "doc_id", F.explode(_shingle_expr(F.col("toks"))).alias("g")
+    )
     bkt = F.pmod(F.conv(F.substring(F.md5(F.col("g")), 14, 3), 16, 10).cast("int"), F.lit(HIST_DIM))
     counts = feats.groupBy("doc_id", bkt.alias("bkt")).agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
 
-    # sparse → dense via ONE numpy scatter per Arrow batch (a JVM
-    # transform(sequence(0,2047), m[i]) would do 2048 LINEAR map scans per
-    # doc — measured 10x the whole query's budget at sf0.1); the two
-    # collect_lists share one aggregate pass so their element order aligns;
-    # checkpointed because lsh_cosine_pairs consumes the vectors three
-    # times (banding + both verify sides)
+    # SPARSE representation end-to-end (ann.lsh_cosine_pairs_sparse): the
+    # dense dim-2048 vectors exist only inside the signature UDF's Arrow
+    # batches — materializing them as a column (r3's design) cost 360 MB
+    # of Arrow serialization consumed three times, which dominated the
+    # query's wall.  The two collect_lists share one aggregate pass so
+    # their element order aligns; checkpointed because the sparse arrays
+    # feed banding + both verify sides.
     vecs = (
         counts.groupBy("doc_id")
         .agg(F.collect_list("bkt").alias("bkts"), F.collect_list("c").alias("cs"))
-        .select(
-            F.col("doc_id").alias("vec_id"),
-            _scatter_udf()("bkts", "cs").alias("embedding"),
-        )
         .localCheckpoint(eager=False)
     )
     # 1e-6 slack: raw cosine in [0.9-1e-6, 0.9) rounds UP to the threshold
     return (
-        lsh_cosine_pairs(
+        lsh_cosine_pairs_sparse(
             vecs, threshold=0.9 - 1e-6, dim=HIST_DIM,
+            id_col="doc_id", idx_col="bkts", val_col="cs",
             n_bits=10, n_tables=64, oversize_policy="all", min_collisions=3,
         )
         .withColumn("cosine", F.round("cosine", 6))

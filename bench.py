@@ -7,10 +7,32 @@ execution, no driver collect bottleneck).  Also runs the transcript dedup
 pipeline on deterministic synthetic data and reports turns/sec (the
 BASELINE.json throughput metric).
 
+Measurement hygiene (VERDICT r3 #6/#7): a heavy query poisons every
+in-session measurement after it — executor heaps stay inflated, the
+Python worker pool carries residual memory, GC pressure bleeds into the
+next timing (measured: transcript_pipeline read 13.3 s right after the
+12.9 s cosine query vs ~10 s clean).  Two defenses:
+
+* the transcript pipeline — the headline BASELINE metric — runs FIRST,
+  before any heavy query can poison it, and runs TWICE: the first run
+  carries the session's one-time costs (whole-stage codegen, Arrow
+  writer init across the python worker pool — measured ~7 s at sf0.1)
+  and is recorded as ``transcript_pipeline_cold``; the second is
+  steady-state and is the ``transcript_pipeline`` /
+  ``pipeline_turns_per_sec`` metric, matching how a long-running daily
+  pipeline actually executes.  The recorded JSON carries the execution
+  ``order`` so cross-round per-query comparisons know exactly what ran
+  before what;
+* ``BENCH_ISOLATE=1`` runs every query in its own subprocess with a
+  fresh Spark session — slower wall (one ~15 s session spin-up per
+  query) but each timing is unconditionally clean.  The JSON records
+  which mode produced it (``isolation`` field).
+
 Env knobs:
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   BENCH_PIPELINE_CONVS synthetic conversations for the pipeline bench
+  BENCH_ISOLATE        1 = fresh subprocess session per query
 """
 
 from __future__ import annotations
@@ -18,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -29,6 +52,7 @@ HEADLINE = [
     "exact_dup_clusters",
     "minhash_lsh_pairs",
     "dedup_clusters",
+    "incremental_clusters",
     "simhash_pairs",
     "substring_pairs",
     "edit_dup_pairs",
@@ -37,6 +61,7 @@ HEADLINE = [
     "media_dedup",
     "embedding_dup_pairs",
     "ann_topk",
+    "ivf_topk_exact",
     "events_hourly",
     "events_rollup",
     "events_sessions",
@@ -44,27 +69,34 @@ HEADLINE = [
     "pricing_summary",
 ]
 
+_ISOLATED_WORKER = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as entrymod
+from wdedup_spark.session import spark_session
+name, sf_dir, cpus = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = spark_session(app_name=f"bench-{{name}}", master=f"local[{{cpus}}]")
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(1_000_000).selectExpr("sum(id)").collect()
+from pyspark.sql.functions import pandas_udf
+@pandas_udf("long")
+def _warm(x):
+    return x
+spark.range(1000, numPartitions=int(cpus)).select(_warm("id")).write.format(
+    "noop").mode("overwrite").save()
+t0 = time.perf_counter()
+entrymod.queries()[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+print(json.dumps({{"name": name, "sec": round(time.perf_counter() - t0, 3)}}))
+"""
+
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_convs = int(os.environ.get("BENCH_PIPELINE_CONVS", "2000"))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    import __spark_entry__ as entrymod
-    from wdedup_spark import synth
-    from wdedup_spark.plans.pipeline import PipelineConfig, run_pipeline
-    from wdedup_spark.session import spark_session
-
-    spark = spark_session(app_name="wdedup-bench", master=f"local[{cpus}]")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # warm up the JVM (codegen) and the Python worker pool once so the
-    # first measured query isn't charged session spin-up
+def _warm_session(spark, cpus: str) -> None:
+    """Warm the JVM (codegen) and Python worker pool once so the first
+    measured query isn't charged session spin-up."""
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from pyspark.sql.functions import pandas_udf
 
@@ -76,27 +108,60 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()  # include plan construction: some operators
-        force(qs[name](spark, sf_dir))  # (CC) run jobs during construction
-        timings[name] = round(time.perf_counter() - t0, 3)
 
-    # transcript dedup pipeline (turns/sec — the BASELINE metric)
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_convs = int(os.environ.get("BENCH_PIPELINE_CONVS", "2000"))
+    isolate = os.environ.get("BENCH_ISOLATE", "0") == "1"
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    import __spark_entry__ as entrymod
+    from wdedup_spark import synth
+    from wdedup_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from wdedup_spark.session import spark_session
+
+    spark = spark_session(app_name="wdedup-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_session(spark, cpus)
+
+    timings: dict[str, float] = {}
+    order: list[str] = []
+
+    # transcript dedup pipeline FIRST (turns/sec — the BASELINE metric):
+    # nothing heavy has run yet, so this is the clean-session number
     res = synth.generate_transcripts(n_base=n_convs, seed=42)
     turns = synth.to_spark(spark, res).repartition(int(cpus) * 2)
     turns = turns.localCheckpoint(eager=True)  # materialize input outside timing
     n_turns = turns.count()
-    workdir = tempfile.mkdtemp(prefix="bench-pipe-")
-    try:
-        t0 = time.perf_counter()
-        out = run_pipeline(spark, turns, workdir, PipelineConfig())
-        force(out["clusters"])
-        pipe_s = round(time.perf_counter() - t0, 3)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
-    timings["transcript_pipeline"] = pipe_s
+    for label in ("transcript_pipeline_cold", "transcript_pipeline"):
+        workdir = tempfile.mkdtemp(prefix="bench-pipe-")
+        try:
+            t0 = time.perf_counter()
+            out = run_pipeline(spark, turns, workdir, PipelineConfig())
+            force(out["clusters"])
+            pipe_s = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+        timings[label] = pipe_s
+        order.append(label)
+
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        if isolate:
+            out_p = subprocess.run(
+                [sys.executable, "-c", _ISOLATED_WORKER.format(repo=repo),
+                 name, sf_dir, cpus],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [l for l in out_p.stdout.strip().splitlines() if l.startswith("{")][-1]
+            timings[name] = json.loads(line)["sec"]
+        else:
+            t0 = time.perf_counter()  # include plan construction: some operators
+            force(qs[name](spark, sf_dir))  # (CC) run jobs during construction
+            timings[name] = round(time.perf_counter() - t0, 3)
+        order.append(name)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -110,6 +175,8 @@ def main() -> None:
                 "pipeline_turns": n_turns,
                 "pipeline_turns_per_sec": round(n_turns / pipe_s, 1),
                 "cpus": int(cpus),
+                "order": order,
+                "isolation": "per-query-subprocess" if isolate else "shared-session-in-order",
             }
         )
     )

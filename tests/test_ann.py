@@ -157,6 +157,51 @@ def test_ivf_topk_recall_and_exact_degradation(spark, emb):
     assert hit / tot >= 0.9, f"IVF recall {hit/tot}"
 
 
+def test_lsh_cosine_pairs_sparse_matches_dense_and_numpy(spark):
+    """The sparse entry point must find the same pairs as the dense path
+    and the numpy all-pairs oracle, with exact cosine values (verify is an
+    exact sparse dot over shared indices)."""
+    import pandas as pd
+
+    from wdedup_spark.operators.ann import lsh_cosine_pairs_sparse
+
+    dim = 512
+    rng = np.random.default_rng(23)
+    # sparse non-negative histograms: 30 base docs, each with a planted
+    # near-dup (small perturbation) → cosine >= ~0.95; unrelated pairs low
+    ids, idxs, vals = [], [], []
+    dense = {}
+    for i in range(30):
+        nnz = rng.integers(20, 60)
+        ii = np.sort(rng.choice(dim, size=nnz, replace=False))
+        vv = rng.integers(1, 9, size=nnz).astype(np.float64)
+        for j, pert in ((2 * i, 0), (2 * i + 1, 1)):
+            v2 = vv.copy()
+            if pert:
+                v2[0] += 1.0  # tiny perturbation keeps cosine high
+            ids.append(j)
+            idxs.append(ii.tolist())
+            vals.append(v2.tolist())
+            d = np.zeros(dim)
+            d[ii] = v2
+            dense[j] = d
+    pdf = pd.DataFrame({"vec_id": ids, "idxs": idxs, "vals": vals})
+    df = spark.createDataFrame(pdf)
+    got = lsh_cosine_pairs_sparse(
+        df, threshold=0.9, dim=dim, n_bits=8, n_tables=32, oversize_policy="all"
+    ).collect()
+    mat = np.stack([dense[i] for i in sorted(dense)])
+    want = _numpy_pairs(mat, 0.9)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert pairs <= want, "exact verify must kill false positives"
+    assert len(pairs & want) / len(want) >= 0.99, f"recall {len(pairs & want) / len(want)}"
+    norms = np.linalg.norm(mat, axis=1)
+    for r in got:
+        a, b = r["vec_a"], r["vec_b"]
+        true = float(mat[a] @ mat[b] / (norms[a] * norms[b]))
+        assert abs(r["cosine"] - true) < 1e-9
+
+
 def test_ivf_topk_leaves_no_cached_blocks(spark, emb):
     """VERDICT r3 #4: ivf_topk must unpersist its normalized corpus before
     returning — repeated calls in a long-running driver must not accumulate
