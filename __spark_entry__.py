@@ -518,6 +518,26 @@ def q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH approximate top-k (VERDICT r3 #4's last
+    pytest-only ANN strategy), driver-visible as a rows-only check: the
+    random planes are seeded numpy — not SQL-expressible — so no
+    ``oracle_sql`` entry exists BY DESIGN and the driver records the
+    weaker rows/schema signal.  Recall vs exact brute force is pinned in
+    tests/test_ann.py (>= 0.6 @ k=5 on clustered data; the production
+    recall knobs are n_bits and the Hamming-1 probe set)."""
+    from wdedup_spark.operators.ann import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_bucketed_topk(emb, queries, dim=dim, k=5, n_bits=8).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
 # --------------------------------------------------------------------------
 # events: windowed aggregation + sessionization
 # --------------------------------------------------------------------------
@@ -646,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "ann_topk": q_ann_topk,
         "ivf_topk_exact": q_ivf_topk_exact,
+        "lsh_topk": q_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "bpe_token_counts": q_bpe_token_counts,
         "events_hourly": q_events_hourly,

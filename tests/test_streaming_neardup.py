@@ -69,3 +69,101 @@ def test_stream_neardup_flags(spark, tmp_path, corpus_docs):
     assert ("new-exact", "idx-1") in got and got[("new-exact", "idx-1")] == 1.0
     assert ("new-near", "idx-0") in got and got[("new-near", "idx-0")] >= 0.65
     assert not any(cid == "new-novel" for cid, _ in got)
+
+
+def _turns(conv_id, tokens, start_ts=0):
+    """One turn per 10 tokens — exercises assembly's turn ordering."""
+    rows = []
+    for i in range(0, len(tokens), 10):
+        rows.append(
+            (conv_id, i // 10, "user" if (i // 10) % 2 == 0 else "assistant",
+             " ".join(tokens[i : i + 10]), None, i // 10 + start_ts)
+        )
+    return rows
+
+
+def test_stream_neardup_from_pipeline_workdir(spark, tmp_path):
+    """VERDICT r3 #8 — the production contract end-to-end: the streaming
+    probe index comes from an ACTUAL run_pipeline workdir (the committed
+    ``sign`` stage read back through the ledger, exactly how a resumed
+    batch run gets it), not a hand-built index; and the stream's flags
+    must equal the batch dataflow's flags on the same new-docs batch
+    (stream_neardup_flags is pure DataFrame ops, so running it over the
+    static DataFrame IS the batch verify pre-filter — bit-for-bit parity
+    of the sign→band→join→estimate chain across the two execution modes)."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from wdedup_spark.operators.assemble import assemble_conversations
+    from wdedup_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from wdedup_spark.sources.ledger import StageLedger
+
+    schema = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", LongType()),
+    ])
+    base = [f"alpha{i:03d}" for i in range(120)]
+    other = [f"beta{i:03d}" for i in range(120)]
+    third = [f"gamma{i:03d}" for i in range(90)]
+    corpus_turns = _turns("conv-a", base) + _turns("conv-b", other) + _turns("conv-c", third)
+    turns = spark.createDataFrame(corpus_turns, schema)
+
+    cfg = PipelineConfig()
+    workdir = str(tmp_path / "pipe-work")
+    run_pipeline(spark, turns, workdir, cfg, stop_after="sign")
+
+    # re-open the ledger cold (as a resuming run / a streaming job would)
+    # and read the COMMITTED sign table — not the in-session DataFrame
+    ledger = StageLedger(workdir, config_fence=cfg.fence(), spark=spark)
+    assert ledger.is_committed("sign")
+    signed = ledger.output(spark, "sign").select("conv_id", "sig")
+    index = index_for_stream(signed, cfg.n_perms, cfg.n_bands).localCheckpoint(eager=True)
+
+    # new batch: near-dup of conv-a (3% token edits), exact re-delivery of
+    # conv-b under a new id, and a novel conversation
+    near = list(base)
+    for i in range(0, 120, 40):
+        near[i] = f"edit{i}"
+    new_turns = (
+        _turns("new-near", near)
+        + _turns("new-exact", other)
+        + _turns("new-novel", [f"delta{i:03d}" for i in range(100)])
+    )
+    new_docs = assemble_conversations(spark.createDataFrame(new_turns, schema))
+
+    # batch flags: the same function over the static DataFrame
+    kw = dict(k=cfg.k, n_perms=cfg.n_perms, n_bands=cfg.n_bands, seed=cfg.seed)
+    batch_rows = stream_neardup_flags(new_docs, index, **kw).collect()
+
+    # stream flags: file-source stream over the same docs
+    src = str(tmp_path / "pipe-neardup-src")
+    new_docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream_neardup_flags(stream, index, **kw)
+        .writeStream.format("memory")
+        .queryName("pipe_neardup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = spark.sql("SELECT * FROM pipe_neardup_sink").collect()
+
+    def norm(rows):
+        return sorted((r["conv_id"], r["index_id"], round(r["est"], 9)) for r in rows)
+
+    assert norm(stream_rows) == norm(batch_rows), "stream/batch dataflow parity"
+
+    got = {}
+    for r in stream_rows:
+        key = (r["conv_id"], r["index_id"])
+        got[key] = max(got.get(key, 0.0), r["est"])
+    assert got.get(("new-exact", "conv-b")) == 1.0
+    assert got.get(("new-near", "conv-a"), 0.0) >= 0.65
+    assert not any(cid == "new-novel" for cid, _ in got)
