@@ -526,12 +526,26 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     weaker rows/schema signal.  Recall vs exact brute force is pinned in
     tests/test_ann.py (>= 0.6 @ k=5 on clustered data; the production
     recall knobs are n_bits and the Hamming-1 probe set)."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     from wdedup_spark.operators.ann import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    dim = len(emb.select("embedding").first()["embedding"])
-    return lsh_bucketed_topk(emb, queries, dim=dim, k=5, n_bits=8).select(
+    # the plane matrix is built driver-side, so dim must be known before
+    # the plan: one tiny first() probe (1-row job).  Empty corpus → empty
+    # result with the contract schema instead of a None dereference.
+    row = emb.select(F.size("embedding").alias("d")).first()
+    if row is None:
+        return spark.createDataFrame(
+            [],
+            StructType([
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("rank", IntegerType()),
+            ]),
+        )
+    return lsh_bucketed_topk(emb, queries, dim=row["d"], k=5, n_bits=8).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "rank",

@@ -17,7 +17,8 @@ next timing (measured: transcript_pipeline read 13.3 s right after the
   before any heavy query can poison it, and runs TWICE: the first run
   carries the session's one-time costs (whole-stage codegen, Arrow
   writer init across the python worker pool — measured ~7 s at sf0.1)
-  and is recorded as ``transcript_pipeline_cold``; the second is
+  and is recorded as ``transcript_pipeline_cold`` (excluded from the
+  headline total so cross-round totals stay comparable); the second is
   steady-state and is the ``transcript_pipeline`` /
   ``pipeline_turns_per_sec`` metric, matching how a long-running daily
   pipeline actually executes.  The recorded JSON carries the execution
@@ -73,17 +74,12 @@ _ISOLATED_WORKER = """
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 import __spark_entry__ as entrymod
+import bench
 from wdedup_spark.session import spark_session
 name, sf_dir, cpus = sys.argv[1], sys.argv[2], sys.argv[3]
 spark = spark_session(app_name=f"bench-{{name}}", master=f"local[{{cpus}}]")
 spark.sparkContext.setLogLevel("ERROR")
-spark.range(1_000_000).selectExpr("sum(id)").collect()
-from pyspark.sql.functions import pandas_udf
-@pandas_udf("long")
-def _warm(x):
-    return x
-spark.range(1000, numPartitions=int(cpus)).select(_warm("id")).write.format(
-    "noop").mode("overwrite").save()
+bench._warm_session(spark, cpus)  # ONE warm-up definition for both modes
 t0 = time.perf_counter()
 entrymod.queries()[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 print(json.dumps({{"name": name, "sec": round(time.perf_counter() - t0, 3)}}))
@@ -148,22 +144,39 @@ def main() -> None:
         order.append(label)
 
     qs = entrymod.queries()
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if isolate:
-            out_p = subprocess.run(
-                [sys.executable, "-c", _ISOLATED_WORKER.format(repo=repo),
-                 name, sf_dir, cpus],
-                capture_output=True, text=True, timeout=1800,
-            )
-            line = [l for l in out_p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            timings[name] = json.loads(line)["sec"]
+            # a failed/hung query must not take the whole bench down:
+            # record the error, surface the worker's stderr, move on
+            try:
+                out_p = subprocess.run(
+                    [sys.executable, "-c", _ISOLATED_WORKER.format(repo=repo),
+                     name, sf_dir, cpus],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                lines = [l for l in out_p.stdout.strip().splitlines() if l.startswith("{")]
+                if out_p.returncode != 0 or not lines:
+                    print(f"[bench] {name} failed rc={out_p.returncode}:\n"
+                          f"{out_p.stderr[-2000:]}", file=sys.stderr)
+                    errors[name] = f"rc={out_p.returncode}"
+                    continue
+                timings[name] = json.loads(lines[-1])["sec"]
+            except subprocess.TimeoutExpired:
+                print(f"[bench] {name} timed out (1800 s)", file=sys.stderr)
+                errors[name] = "timeout"
+                continue
         else:
             t0 = time.perf_counter()  # include plan construction: some operators
             force(qs[name](spark, sf_dir))  # (CC) run jobs during construction
             timings[name] = round(time.perf_counter() - t0, 3)
         order.append(name)
 
-    total = round(sum(timings.values()), 3)
+    # the cold pipeline run is recorded for transparency but EXCLUDED from
+    # the headline total: earlier rounds timed the pipeline once, and a
+    # total that double-counts it would read as a cross-round regression
+    total = round(sum(v for k, v in timings.items()
+                      if k != "transcript_pipeline_cold"), 3)
     print(
         json.dumps(
             {
@@ -177,6 +190,7 @@ def main() -> None:
                 "cpus": int(cpus),
                 "order": order,
                 "isolation": "per-query-subprocess" if isolate else "shared-session-in-order",
+                **({"errors": errors} if errors else {}),
             }
         )
     )

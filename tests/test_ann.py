@@ -200,6 +200,23 @@ def test_lsh_cosine_pairs_sparse_matches_dense_and_numpy(spark):
         a, b = r["vec_a"], r["vec_b"]
         true = float(mat[a] @ mat[b] / (norms[a] * norms[b]))
         assert abs(r["cosine"] - true) < 1e-9
+    # the actual sparse/dense contract: same seed + config → the DENSE
+    # path over densified vectors finds the same pair set with matching
+    # cosines (the sparse _sigs batch scatter must reproduce the dense
+    # matmul's bits; divergence in plane seeding / reshape order / weights
+    # would break this even with the numpy oracle still green)
+    dpdf = pd.DataFrame(
+        {"vec_id": sorted(dense), "embedding": [dense[i].tolist() for i in sorted(dense)]}
+    )
+    ddf = spark.createDataFrame(dpdf)
+    dgot = lsh_cosine_pairs(
+        ddf, threshold=0.9, dim=dim, n_bits=8, n_tables=32, oversize_policy="all"
+    ).collect()
+    dense_pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in dgot}
+    sparse_pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in got}
+    assert set(sparse_pairs) == set(dense_pairs), "sparse/dense pair-set parity"
+    for k in sparse_pairs:
+        assert abs(sparse_pairs[k] - dense_pairs[k]) < 1e-9
 
 
 def test_ivf_topk_leaves_no_cached_blocks(spark, emb):

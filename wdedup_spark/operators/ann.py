@@ -93,12 +93,14 @@ def exact_cosine_pairs(
       per-pair overhead than expression-tree arithmetic), emitting only
       the pairs that clear the threshold;
     * task memory is bounded: each joined row carries two full member
-      blocks (~2·B·d·8 bytes), so the join output is repartitioned to
-      ~one tile per partition — an Arrow batch can then never materialize
-      more than a few tiles regardless of
-      ``spark.sql.execution.arrow.maxRecordsPerBatch``.  Task count ==
-      tile count; at large n raise ``block_size`` (B ~ √(n·target_tile))
-      so per-tile GEMM work amortizes the ~ms task overhead.
+      blocks (~2·B·d·8 bytes), so the join output is repartitioned to at
+      most ``tiles_per_task`` tiles per partition — an Arrow batch can
+      then never materialize more than ~2·tiles_per_task blocks.  The
+      partition count is clamped to a scheduler-sane ceiling (2^20); past
+      the clamp (npairs > tiles_per_task·2^20) the bound degrades and the
+      sizing rule below is mandatory: raise ``block_size``
+      (B ~ √(n·target_tile)) so npairs shrinks quadratically and per-tile
+      GEMM work amortizes the ~ms task overhead.
 
     For thresholds with a real margin (true near-dup dedup at t >= 0.8),
     prefer ``lsh_cosine_pairs`` — sub-quadratic with a quantified recall.
@@ -118,18 +120,20 @@ def exact_cosine_pairs(
         F.col("ba") <= F.col("bb"),
     )
     npairs = nblocks * (nblocks + 1) // 2
-    # Partition count comes from the CLUSTER's parallelism, not the tile
-    # count: at nblocks ~10^4 the tile table is ~5×10^7 rows and asking the
-    # hash partitioner for that many partitions is a driver-side scheduler
-    # and memory bottleneck long before any executor sees data (ADVICE r3).
-    # Several tiles per partition is fine — mapInPandas streams Arrow
-    # batches, so per-task memory is ~2 blocks × the rows per batch (capped
-    # by spark.sql.execution.arrow.maxRecordsPerBatch), and hash collisions
-    # already made the old 1-tile-per-partition bound probabilistic.  At
-    # huge n the docstring's sizing rule (B ~ √(n·target_tile)) keeps both
-    # npairs and tiles-per-partition sane.
+    # Partition sizing balances two hard constraints (ADVICE r3 + review):
+    # (a) per-task MEMORY — each tile row carries two full member blocks
+    #     (~2·B·d·8 bytes) and the Arrow reader materializes a whole
+    #     batch, so partitions must stay at ~tiles_per_task rows (a
+    #     10k-row maxRecordsPerBatch batch of 32 MB tiles would be 100s
+    #     of GB); hash collisions make this a few-× bound, not exact;
+    # (b) DRIVER scheduling — npairs-many partitions (~5×10^7 at
+    #     nblocks ~10^4) is a driver memory/latency bottleneck, so the
+    #     count is clamped at 2^20; past the clamp the docstring's
+    #     block_size sizing rule is mandatory (bigger blocks shrink
+    #     npairs quadratically, restoring the bound).
+    tiles_per_task = 4
     par = max(spark.sparkContext.defaultParallelism, 1)
-    n_parts = int(min(npairs, max(par * 8, 64)))
+    n_parts = int(min(npairs, max(par, -(-npairs // tiles_per_task)), 1 << 20))
     joined = (
         bp.join(blocks.select(F.col("block").alias("ba"), F.col("members").alias("ma")), "ba")
         .join(blocks.select(F.col("block").alias("bb"), F.col("members").alias("mb")), "bb")
