@@ -22,11 +22,7 @@ import sys
 STAGES = ["assemble", "exact", "sign", "candidates", "verify", "cluster"]
 
 
-def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog="wdedup-spark")
-    sub = p.add_subparsers(dest="cmd", required=True)
-
-    d = sub.add_parser("dedup", help="near-duplicate pipeline over transcript turns")
+def _add_pipeline_args(d: argparse.ArgumentParser) -> None:
     d.add_argument("--input", required=True, help="turns table: parquet path or Iceberg name")
     d.add_argument("--workdir", required=True, help="stage-output / ledger directory")
     d.add_argument("--k", type=int, default=3)
@@ -45,7 +41,26 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--stop-after", choices=STAGES, default=None,
                    help="debug: commit stages up to this one, then exit")
     d.add_argument("--no-gc", action="store_true",
-                   help="keep all intermediate stage outputs (reference --disable-gc)")
+                   help="keep all intermediate stage outputs (reference --disable-gc); "
+                        "REQUIRED on a run that will serve as an incremental base "
+                        "(dedup-incr reads the committed sign stage)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="wdedup-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="near-duplicate pipeline over transcript turns")
+    _add_pipeline_args(d)
+
+    i = sub.add_parser(
+        "dedup-incr",
+        help="daily increment: dedup NEW turns against a committed base workdir "
+             "(a dedup --no-gc run, or a previous dedup-incr workdir — chains)",
+    )
+    _add_pipeline_args(i)
+    i.add_argument("--base", required=True,
+                   help="committed base workdir (sign/exact stages retained)")
 
     f = sub.add_parser("findfirst", help="wdedup parity: first unique word of a text file")
     f.add_argument("--input", required=True)
@@ -64,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         print(find_first_unique_word_in_file(spark, args.input))
         return 0
 
-    from wdedup_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from wdedup_spark.plans.pipeline import PipelineConfig, run_incremental, run_pipeline
     from wdedup_spark.sources.io import read_turns
 
     cfg = PipelineConfig(
@@ -74,10 +89,16 @@ def main(argv: list[str] | None = None) -> int:
         substring_min_span=args.min_span, sync_ranges=args.sync_ranges,
     )
     turns = read_turns(spark, args.input)
-    out = run_pipeline(
-        spark, turns, args.workdir, cfg,
-        stop_after=args.stop_after, gc=not args.no_gc,
-    )
+    if args.cmd == "dedup-incr":
+        out = run_incremental(
+            spark, turns, args.base, args.workdir, cfg,
+            stop_after=args.stop_after, gc=not args.no_gc,
+        )
+    else:
+        out = run_pipeline(
+            spark, turns, args.workdir, cfg,
+            stop_after=args.stop_after, gc=not args.no_gc,
+        )
     ledger = out["ledger"]
     print(json.dumps({"stages": ledger.metrics()}, indent=2))
     return 0

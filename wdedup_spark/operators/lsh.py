@@ -34,10 +34,15 @@ def band_buckets(
     id_col: str = "conv_id",
     n_bands: int = DEFAULT_NUM_BANDS,
     n_perms: int | None = None,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """(id, sig[n_perms]) → (band, bucket, id) — one row per band.
+    """(id, sig[n_perms]) → (band, bucket, id[, passthrough...]) — one row
+    per band.
 
     bucket = xxhash64(band index, signature slice) computed JVM-side.
+    ``passthrough`` columns ride along unchanged (the incremental
+    pipeline's is-new flag) — cheaper than re-joining them onto the
+    banded exchange.
     """
     n_perms_val = n_perms
     if n_perms_val is None:
@@ -55,8 +60,11 @@ def band_buckets(
             for b in range(n_bands)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(bands).alias("bb")).select(
-        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id"
+    extra = passthrough or []
+    return df.select(
+        F.col(id_col).alias("id"), *extra, F.explode(bands).alias("bb")
+    ).select(
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id", *extra
     )
 
 
@@ -66,6 +74,7 @@ def candidate_pairs(
     oversize_policy: str = "star",
     min_collisions: int = 1,
     dedup: bool = True,
+    new_col: str | None = None,
 ) -> DataFrame:
     """band buckets → distinct candidate pairs (conv_a < conv_b).
 
@@ -73,6 +82,16 @@ def candidate_pairs(
     immediately aggregate on (conv_a, conv_b) anyway (the pipeline's
     channel-union groupBy) get identical results one shuffle cheaper —
     cross-band duplicates just carry into that aggregate.
+
+    ``new_col``: INCREMENTAL mode — ``banded`` carries a boolean column of
+    that name marking the new batch's ids, and only pairs touching at
+    least one new id are emitted.  This is what makes a daily increment
+    O(new × bucket) instead of O(corpus²): old×old pairs were already
+    generated (and verified/clustered) by the run that committed them, so
+    within-bucket expansion filters them out and oversize buckets emit
+    star edges for NEW members only (old members were star-connected to
+    the same bucket-min by the base run at the same config, so
+    connectivity through the flood is already in the cluster state).
 
     oversize_policy for buckets with > max_bucket members:
       "star" — emit m-1 edges to the bucket-min id (bounded, keeps
@@ -95,37 +114,71 @@ def candidate_pairs(
     materializes a 10^7-element aggregation buffer: its rows flow straight
     to the star branch as (min_id, id) edges, one row at a time.
     """
+    # incremental mode collects (id, is_new) structs — sort_array still
+    # orders by id (first struct field), preserving the a < b expansion
+    entry = (
+        F.struct(F.col("id").alias("id"), F.col(new_col).alias("_n"))
+        if new_col
+        else F.col("id")
+    )
+
+    def _expand(buckets: DataFrame) -> DataFrame:
+        p = (
+            buckets.select(F.explode("ids").alias("x"), F.col("ids"))
+            .select("x", F.explode("ids").alias("y"))
+        )
+        if new_col:
+            return (
+                p.filter(
+                    (F.col("x.id") < F.col("y.id"))
+                    & (F.col("x._n") | F.col("y._n"))
+                )
+                .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            )
+        return p.filter(F.col("x") < F.col("y")).select(
+            F.col("x").alias("a"), F.col("y").alias("b")
+        )
+
     if oversize_policy == "all":
         # no cap → no size split needed; single groupBy (tests/small data)
         buckets = (
             banded.groupBy("band", "bucket")
-            .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("m"))
+            .agg(F.sort_array(F.collect_list(entry)).alias("ids"), F.count(F.lit(1)).alias("m"))
             .filter(F.col("m") > 1)
         )
-        pairs_small = (
-            buckets.select(F.explode("ids").alias("a"), F.col("ids"))
-            .select("a", F.explode("ids").alias("b"))
-            .filter(F.col("a") < F.col("b"))
-        )
+        pairs_small = _expand(buckets)
         big_rows = None
     else:
         w = Window.partitionBy("band", "bucket")
+        extra_cols = []
+        if new_col:
+            # incremental star anchor: the min over OLD members — the node
+            # the base run's star edges already orbit.  A new bucket-min
+            # would otherwise be isolated (old members' committed edges
+            # point at the OLD min, and new members only edge to the
+            # anchor).  All-new flood → fall back to min over new.
+            extra_cols = [
+                new_col,
+                F.coalesce(
+                    F.min(F.when(~F.col(new_col), F.col("id"))).over(w),
+                    F.min(F.when(F.col(new_col), F.col("id"))).over(w),
+                ).alias("anchor"),
+            ]
         counted = banded.select(
             "band",
             "bucket",
             "id",
+            *extra_cols,
             F.count(F.lit(1)).over(w).alias("m"),
             F.min("id").over(w).alias("min_id"),
         ).filter(F.col("m") > 1)
         # the groupBy below reuses the window's hash partitioning on
         # (band, bucket) — one exchange total, verified in docs/PLANS.md
         small = counted.filter(F.col("m") <= max_bucket)
-        pairs_small = (
-            small.groupBy("band", "bucket")
-            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-            .select(F.explode("ids").alias("a"), F.col("ids"))
-            .select("a", F.explode("ids").alias("b"))
-            .filter(F.col("a") < F.col("b"))
+        pairs_small = _expand(
+            small.groupBy("band", "bucket").agg(
+                F.sort_array(F.collect_list(entry)).alias("ids")
+            )
         )
         big_rows = counted.filter(F.col("m") > max_bucket)
 
@@ -138,10 +191,22 @@ def candidate_pairs(
         )
 
     if oversize_policy == "star" and big_rows is not None:
-        # star edges row-by-row: (bucket min, member) — no array ever built
-        pairs_big = big_rows.filter(F.col("id") != F.col("min_id")).select(
-            F.col("min_id").alias("a"), F.col("id").alias("b")
-        )
+        # star edges row-by-row: (anchor, member) — no array ever built.
+        # Incremental: only NEW members need edges (old members were
+        # star-connected to the old-member min by the base run at the
+        # same config), anchored at that same old min.
+        if new_col:
+            pairs_big = (
+                big_rows.filter(F.col(new_col) & (F.col("id") != F.col("anchor")))
+                .select(
+                    F.least("anchor", "id").alias("a"),
+                    F.greatest("anchor", "id").alias("b"),
+                )
+            )
+        else:
+            pairs_big = big_rows.filter(F.col("id") != F.col("min_id")).select(
+                F.col("min_id").alias("a"), F.col("id").alias("b")
+            )
         pairs = pairs_small.unionByName(pairs_big)
     else:
         pairs = pairs_small

@@ -71,6 +71,7 @@ def simhash_chunks(
     id_col: str = "conv_id",
     max_hamming: int = DEFAULT_HAMMING,
     n_blocks: int = 6,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Multi-block pigeonhole tables (Manku, Jain, Sarma — "Detecting
     Near-Duplicates for Web Crawling", WWW 2007): split the 64-bit
@@ -110,9 +111,10 @@ def simhash_chunks(
                 F.xxhash64(*[block(i) for i in combo]).alias("bucket"),
             )
         )
-    return df.select(F.col(id_col).alias("id"), F.explode(F.array(*keys)).alias("bb")).select(
-        "bb.band", "bb.bucket", "id"
-    )
+    extra = passthrough or []
+    return df.select(
+        F.col(id_col).alias("id"), *extra, F.explode(F.array(*keys)).alias("bb")
+    ).select("bb.band", "bb.bucket", "id", *extra)
 
 
 def simhash_candidates(

@@ -28,15 +28,15 @@ from __future__ import annotations
 
 import hashlib
 import json
+import posixpath
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wdedup_spark.operators.assemble import assemble_conversations
-from wdedup_spark.operators.cluster import cluster_assignments
+from wdedup_spark.operators.cluster import cluster_assignments, incremental_update
 from wdedup_spark.operators.exact import add_fingerprint
-from wdedup_spark.operators.lsh import minhash_lsh_candidates
 from wdedup_spark.operators.minhash import add_signatures
 from wdedup_spark.operators.simhash import simhash_chunks
 from wdedup_spark.operators.lsh import candidate_pairs as _candidate_pairs
@@ -87,6 +87,161 @@ class PipelineConfig:
     def fence(self) -> str:
         payload = {"v": PIPELINE_VERSION, **asdict(self)}
         return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def build_candidates(
+    signed: DataFrame, cfg: PipelineConfig, new_col: str | None = None
+) -> DataFrame:
+    """The pipeline's candidate stage as a reusable plan builder: MinHash
+    LSH ∪ SimHash pigeonhole ∪ substring anchors over ``signed``, unioned
+    into ONE (conv_a, conv_b, via) aggregate (per-channel distincts are
+    skipped — cross-band duplicates collapse in the final groupBy).
+
+    ``new_col``: incremental mode — ``signed`` carries a boolean batch
+    flag, every channel passes it through its banding
+    (band_buckets/simhash_chunks passthrough) and only pairs touching a
+    flagged id are generated (lsh.candidate_pairs new_col).  This is what
+    keeps a daily increment O(new × bucket): old ids are re-BANDED (one
+    narrow JVM scan of the committed sign table — no Python, no
+    re-signing) but never re-PAIRED among themselves."""
+    from wdedup_spark.operators.lsh import band_buckets
+
+    passthrough = [new_col] if new_col else None
+    banded = band_buckets(
+        signed, "sig", "conv_id", cfg.n_bands, cfg.n_perms, passthrough=passthrough
+    )
+    cands = _candidate_pairs(
+        banded, cfg.max_bucket, cfg.oversize_policy,
+        min_collisions=cfg.min_band_collisions, dedup=False, new_col=new_col,
+    ).withColumn("via", F.lit("minhash"))
+    if cfg.enable_simhash:
+        sim_banded = simhash_chunks(
+            signed, "simhash", "conv_id", cfg.max_hamming, passthrough=passthrough
+        )
+        sim_cands = _candidate_pairs(
+            sim_banded, cfg.max_bucket, cfg.oversize_policy, dedup=False,
+            new_col=new_col,
+        )
+        sigs = signed.select(F.col("conv_id").alias("id"), "simhash")
+        sim_cands = (
+            sim_cands.join(
+                sigs.select(F.col("id").alias("conv_a"), F.col("simhash").alias("sh_a")), "conv_a"
+            )
+            .join(sigs.select(F.col("id").alias("conv_b"), F.col("simhash").alias("sh_b")), "conv_b")
+            .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= cfg.max_hamming)
+            .select("conv_a", "conv_b")
+            .withColumn("via", F.lit("simhash"))
+        )
+        cands = cands.unionByName(sim_cands)
+    if cfg.enable_substring:
+        anchored = signed.select(
+            F.col("conv_id").alias("id"),
+            *( [new_col] if new_col else [] ),
+            F.explode("anchors").alias("bucket"),
+        ).withColumn("band", F.lit(0))
+        sub_cands = _candidate_pairs(
+            anchored.select("band", "bucket", "id", *( [new_col] if new_col else [] )),
+            cfg.max_bucket, cfg.oversize_policy, dedup=False, new_col=new_col,
+        ).withColumn("via", F.lit("substring"))
+        cands = cands.unionByName(sub_cands)
+    return cands.groupBy("conv_a", "conv_b").agg(
+        F.sort_array(F.collect_set("via")).alias("via")
+    )
+
+
+def build_verify(
+    cands: DataFrame, signed: DataFrame, reps: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """The pipeline's verify stage as a reusable plan builder: JVM
+    MinHash-estimate pre-filter → exact Jaccard UDF; optional edit-channel
+    rescue; substring candidates get the exact common-run check.  ``reps``
+    supplies (conv_id, doc) for the doc-level channels."""
+    both = signed.select(F.col("conv_id").alias("id"), "sig", "shingles")
+    margin = 0.15
+    estimated = (
+        cands.join(
+            both.select(
+                F.col("id").alias("conv_a"),
+                F.col("sig").alias("sig_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "conv_a",
+        )
+        .join(
+            both.select(
+                F.col("id").alias("conv_b"),
+                F.col("sig").alias("sig_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "conv_b",
+        )
+        .withColumn(
+            "est",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / cfg.n_perms,
+        )
+        .select("conv_a", "conv_b", "via", "est", "sh_a", "sh_b")
+    )
+    from wdedup_spark.operators.verify import jaccard_udf
+
+    jac = (
+        estimated.filter(
+            (F.col("est") >= cfg.threshold - margin)
+            | F.array_contains("via", "substring")
+        )
+        .withColumn("jaccard", jaccard_udf(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= cfg.threshold)
+        .select("conv_a", "conv_b", "jaccard")
+        .withColumn("via", F.lit("jaccard"))
+    )
+    out = jac
+    if cfg.verify_edit:
+        # pairs that failed Jaccard get the edit-distance check
+        # (north_rule "Jaccard/edit-distance checks"): catches
+        # token-reorder-heavy near-dups whose shingle sets diverge.
+        # Candidates come from the WIDER edit_margin band — reordered
+        # docs have depressed shingle Jaccard, so the jac channel's
+        # 0.15 margin would filter out exactly the pairs this channel
+        # exists to rescue.
+        from wdedup_spark.operators.verify import edit_similarity_udf
+
+        failed = estimated.filter(
+            (F.col("est") >= cfg.threshold - cfg.edit_margin)
+            | F.array_contains("via", "substring")  # substring-anchored
+            # candidates keep their edit shot regardless of estimate
+            # (long docs with moderate overlap can sit below the band)
+        ).select("conv_a", "conv_b").exceptAll(
+            jac.select("conv_a", "conv_b")
+        )
+        docs = reps.select(F.col("conv_id").alias("id"), "doc")
+        edit_ok = (
+            failed.join(docs.select(F.col("id").alias("conv_a"), F.col("doc").alias("doc_a")), "conv_a")
+            .join(docs.select(F.col("id").alias("conv_b"), F.col("doc").alias("doc_b")), "conv_b")
+            .withColumn("edit_sim", edit_similarity_udf(F.col("doc_a"), F.col("doc_b")))
+            .filter(F.col("edit_sim") >= cfg.edit_threshold)
+            .select("conv_a", "conv_b", F.lit(None).cast("double").alias("jaccard"))
+            .withColumn("via", F.lit("edit"))
+        )
+        out = out.unionByName(edit_ok)
+    if cfg.enable_substring:
+        sub = cands.filter(F.array_contains("via", "substring")).select("conv_a", "conv_b")
+        docs = reps.select(F.col("conv_id").alias("id"), "doc")
+        sub_ok = (
+            sub.join(docs.select(F.col("id").alias("conv_a"), F.col("doc").alias("doc_a")), "conv_a")
+            .join(docs.select(F.col("id").alias("conv_b"), F.col("doc").alias("doc_b")), "conv_b")
+            .withColumn("common_run", common_run_udf(F.col("doc_a"), F.col("doc_b")))
+            .filter(F.col("common_run") >= cfg.substring_min_span)
+            .select("conv_a", "conv_b", F.lit(None).cast("double").alias("jaccard"))
+            .withColumn("via", F.lit("substring"))
+        )
+        out = out.unionByName(sub_ok)
+    return out.groupBy("conv_a", "conv_b").agg(
+        F.max("jaccard").alias("jaccard"), F.sort_array(F.collect_set("via")).alias("via")
+    )
 
 
 def run_pipeline(
@@ -203,150 +358,18 @@ def run_pipeline(
         return out
 
     # -- stage 4: candidates (the shuffle stages) ------------------------------
-    def _candidates() -> DataFrame:
-        # every channel feeds the final (conv_a, conv_b) aggregate, so the
-        # per-channel distinct() exchanges are skipped (dedup=False) —
-        # cross-band duplicates collapse in that one groupBy instead of in
-        # three extra shuffles
-        cands = minhash_lsh_candidates(
-            signed, n_perms=cfg.n_perms, n_bands=cfg.n_bands,
-            max_bucket=cfg.max_bucket, oversize_policy=cfg.oversize_policy,
-            min_collisions=cfg.min_band_collisions, dedup=False,
-        ).withColumn("via", F.lit("minhash"))
-        if cfg.enable_simhash:
-            sim_banded = simhash_chunks(signed, "simhash", "conv_id", cfg.max_hamming)
-            sim_cands = _candidate_pairs(
-                sim_banded, cfg.max_bucket, cfg.oversize_policy, dedup=False
-            )
-            sigs = signed.select(F.col("conv_id").alias("id"), "simhash")
-            sim_cands = (
-                sim_cands.join(
-                    sigs.select(F.col("id").alias("conv_a"), F.col("simhash").alias("sh_a")), "conv_a"
-                )
-                .join(sigs.select(F.col("id").alias("conv_b"), F.col("simhash").alias("sh_b")), "conv_b")
-                .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= cfg.max_hamming)
-                .select("conv_a", "conv_b")
-                .withColumn("via", F.lit("simhash"))
-            )
-            cands = cands.unionByName(sim_cands)
-        if cfg.enable_substring:
-            anchored = signed.select(
-                F.col("conv_id").alias("id"), F.explode("anchors").alias("bucket")
-            ).withColumn("band", F.lit(0))
-            sub_cands = _candidate_pairs(
-                anchored.select("band", "bucket", "id"), cfg.max_bucket,
-                cfg.oversize_policy, dedup=False,
-            ).withColumn("via", F.lit("substring"))
-            cands = cands.unionByName(sub_cands)
-        return cands.groupBy("conv_a", "conv_b").agg(
-            F.sort_array(F.collect_set("via")).alias("via")
-        )
-
-    cands = ledger.run(spark, "candidates", _candidates)
+    cands = ledger.run(spark, "candidates", lambda: build_candidates(signed, cfg))
     out["candidates"] = cands
     if done("candidates"):
         return out
 
     # -- stage 5: verify (exact Jaccard; substring pairs get exact LCS) -------
-    def _verify() -> DataFrame:
-        # JVM-side MinHash-estimate pre-filter: lane-agreement rate is an
-        # unbiased Jaccard estimate; pairs far below threshold die inside
-        # whole-stage codegen before any Python verification (the dominant
-        # candidate volume at scale is random band/chunk collisions)
-        # ONE join per pair side carrying BOTH the MinHash signature (for
-        # the JVM estimate pre-filter) and the shingle set (for the exact
-        # Jaccard UDF) — half the corpus joins of the sig-then-shingles
-        # two-pass shape, at the cost of shipping shingles for candidates
-        # the estimate filter kills (bounded: min_band_collisions already
-        # keeps the candidate set tight)
-        both = signed.select(F.col("conv_id").alias("id"), "sig", "shingles")
-        margin = 0.15
-        estimated = (
-            cands.join(
-                both.select(
-                    F.col("id").alias("conv_a"),
-                    F.col("sig").alias("sig_a"),
-                    F.col("shingles").alias("sh_a"),
-                ),
-                "conv_a",
-            )
-            .join(
-                both.select(
-                    F.col("id").alias("conv_b"),
-                    F.col("sig").alias("sig_b"),
-                    F.col("shingles").alias("sh_b"),
-                ),
-                "conv_b",
-            )
-            .withColumn(
-                "est",
-                F.aggregate(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                ).cast("double")
-                / cfg.n_perms,
-            )
-            .select("conv_a", "conv_b", "via", "est", "sh_a", "sh_b")
-        )
-        from wdedup_spark.operators.verify import jaccard_udf
-
-        jac = (
-            estimated.filter(
-                (F.col("est") >= cfg.threshold - margin)
-                | F.array_contains("via", "substring")
-            )
-            .withColumn("jaccard", jaccard_udf(F.col("sh_a"), F.col("sh_b")))
-            .filter(F.col("jaccard") >= cfg.threshold)
-            .select("conv_a", "conv_b", "jaccard")
-            .withColumn("via", F.lit("jaccard"))
-        )
-        out = jac
-        if cfg.verify_edit:
-            # pairs that failed Jaccard get the edit-distance check
-            # (north_rule "Jaccard/edit-distance checks"): catches
-            # token-reorder-heavy near-dups whose shingle sets diverge.
-            # Candidates come from the WIDER edit_margin band — reordered
-            # docs have depressed shingle Jaccard, so the jac channel's
-            # 0.15 margin would filter out exactly the pairs this channel
-            # exists to rescue.
-            from wdedup_spark.operators.verify import edit_similarity_udf
-
-            failed = estimated.filter(
-                (F.col("est") >= cfg.threshold - cfg.edit_margin)
-                | F.array_contains("via", "substring")  # substring-anchored
-                # candidates keep their edit shot regardless of estimate
-                # (long docs with moderate overlap can sit below the band)
-            ).select("conv_a", "conv_b").exceptAll(
-                jac.select("conv_a", "conv_b")
-            )
-            docs = reps.select(F.col("conv_id").alias("id"), "doc")
-            edit_ok = (
-                failed.join(docs.select(F.col("id").alias("conv_a"), F.col("doc").alias("doc_a")), "conv_a")
-                .join(docs.select(F.col("id").alias("conv_b"), F.col("doc").alias("doc_b")), "conv_b")
-                .withColumn("edit_sim", edit_similarity_udf(F.col("doc_a"), F.col("doc_b")))
-                .filter(F.col("edit_sim") >= cfg.edit_threshold)
-                .select("conv_a", "conv_b", F.lit(None).cast("double").alias("jaccard"))
-                .withColumn("via", F.lit("edit"))
-            )
-            out = out.unionByName(edit_ok)
-        if cfg.enable_substring:
-            sub = cands.filter(F.array_contains("via", "substring")).select("conv_a", "conv_b")
-            docs = reps.select(F.col("conv_id").alias("id"), "doc")
-            sub_ok = (
-                sub.join(docs.select(F.col("id").alias("conv_a"), F.col("doc").alias("doc_a")), "conv_a")
-                .join(docs.select(F.col("id").alias("conv_b"), F.col("doc").alias("doc_b")), "conv_b")
-                .withColumn("common_run", common_run_udf(F.col("doc_a"), F.col("doc_b")))
-                .filter(F.col("common_run") >= cfg.substring_min_span)
-                .select("conv_a", "conv_b", F.lit(None).cast("double").alias("jaccard"))
-                .withColumn("via", F.lit("substring"))
-            )
-            out = out.unionByName(sub_ok)
-        return out.groupBy("conv_a", "conv_b").agg(
-            F.max("jaccard").alias("jaccard"), F.sort_array(F.collect_set("via")).alias("via")
-        )
-
-    verified = ledger.run(spark, "verify", _verify)
+    # JVM-side MinHash-estimate pre-filter: lane-agreement rate is an
+    # unbiased Jaccard estimate; pairs far below threshold die inside
+    # whole-stage codegen before any Python verification.  ONE join per
+    # pair side carries BOTH the signature (estimate) and the shingle set
+    # (exact Jaccard) — see build_verify.
+    verified = ledger.run(spark, "verify", lambda: build_verify(cands, signed, reps, cfg))
     out["verified"] = verified
     if done("verify"):
         return out
@@ -365,6 +388,215 @@ def run_pipeline(
         # reclaim intermediates whose consumers are all committed (O14):
         # sign feeds candidates+verify; candidates feeds verify
         ledger.gc("sign")
+        ledger.gc("candidates")
+
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental (daily-increment) pipeline
+# ---------------------------------------------------------------------------
+
+#: base-pointer file written in an incremental workdir — makes increments
+#: CHAINABLE (day N+1 can use day N's workdir as its base)
+BASE_POINTER = "_base.json"
+
+
+def _chain_workdirs(spark: SparkSession, base_workdir: str) -> list[str]:
+    """``base_workdir`` plus its ancestors (newest first), following
+    ``_base.json`` pointers — a run_pipeline workdir terminates the
+    chain.  Cycles/depth are bounded defensively."""
+    from wdedup_spark.sources.ledger import _HadoopFS
+
+    chain: list[str] = []
+    cur: str | None = base_workdir.rstrip("/")
+    seen: set[str] = set()
+    while cur and cur not in seen and len(chain) < 10_000:
+        seen.add(cur)
+        chain.append(cur)
+        fs = _HadoopFS(spark, cur)
+        ptr = posixpath.join(cur, BASE_POINTER)
+        cur = json.loads(fs.read_text(ptr))["base"] if fs.exists(ptr) else None
+    return chain
+
+
+def run_incremental(
+    spark: SparkSession,
+    new_turns: DataFrame,
+    base_workdir: str,
+    workdir: str,
+    cfg: PipelineConfig = PipelineConfig(),
+    stop_after: str | None = None,
+    gc: bool = False,
+) -> dict[str, DataFrame]:
+    """Dedup a NEW batch of turns against the committed corpus in
+    ``base_workdir`` — the operation a daily 10^12-turn ingest actually
+    runs — committing this increment's stages to ``workdir`` (resumable,
+    same ledger semantics as ``run_pipeline``).
+
+    ``base_workdir`` is a completed ``run_pipeline`` workdir or a previous
+    ``run_incremental`` workdir: increments CHAIN (each records its base
+    in ``_base.json``), and day N reads the union of sign/exact deltas
+    along the chain — no corpus-sized rewrite per day (compact by running
+    a fresh full pipeline when the chain gets long).
+
+    Scale contract — per-day cost is O(new batch + corpus-banding), never
+    O(corpus²) and never corpus-wide Python:
+
+    * assemble / fingerprint / sign run on the NEW batch only;
+    * exact dedup routes re-seen fingerprints to their committed reps via
+      one fp-join against the chain's exact tables;
+    * candidate generation re-bands the committed sign tables JVM-side
+      (narrow scan, no Python, no re-signing) and expands only pairs
+      touching the new batch (``candidate_pairs(new_col=...)``); oversize
+      buckets emit star edges for new members anchored at the old-member
+      min — old×old pairs are never regenerated;
+    * verify's Python (Jaccard/edit/common-run) sees only those pairs;
+    * clustering is ``incremental_update``: CC on the rep-contracted
+      increment graph (O(new edges + touched clusters)), provably
+      equivalent to a full recompute.
+
+    Equivalence caveat (tested): clusters match a full recompute on the
+    union EXCEPT where a bucket crosses ``max_bucket`` only after the
+    increment — new members then star-connect instead of all-pairing, the
+    same boundedness-for-recall trade the batch star policy makes.
+
+    Requires the chain's ``sign`` stages retained (run the base with
+    ``gc=False`` / CLI ``--no-gc``).  ``gc=True`` here reclaims only this
+    increment's ``candidates`` (its sign delta must survive for the next
+    increment in the chain).
+    """
+    ledger = StageLedger(workdir, config_fence=cfg.fence(), spark=spark)
+    out: dict = {"ledger": ledger}
+
+    # record / validate the chain pointer (idempotent across resumes)
+    ptr = posixpath.join(ledger.workdir, BASE_POINTER)
+    base_norm = base_workdir.rstrip("/")
+    if ledger.fs.exists(ptr):
+        recorded = json.loads(ledger.fs.read_text(ptr))["base"]
+        if recorded != base_norm:
+            raise ValueError(
+                f"workdir {workdir} already chained to {recorded}, not {base_norm}"
+            )
+    else:
+        ledger.fs.write_text(ptr, json.dumps({"base": base_norm}))
+
+    chain = _chain_workdirs(spark, base_norm)
+    base_ledgers = [StageLedger(d, config_fence="", spark=spark) for d in chain]
+    for bl in base_ledgers:
+        for stage in ("sign", "exact"):
+            if not bl.is_committed(stage) or bl.is_gcd(stage):
+                raise ValueError(
+                    f"incremental run needs the retained '{stage}' stage in "
+                    f"{bl.workdir} — run the base with gc=False / --no-gc"
+                )
+    if not base_ledgers[0].is_committed("cluster"):
+        raise ValueError(f"base {chain[0]} has no committed cluster stage")
+
+    def _union(stage: str) -> DataFrame:
+        dfs = [bl.output(spark, stage) for bl in base_ledgers]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        return u
+
+    old_sign = _union("sign")
+    old_exact = _union("exact")  # (fp, rep_id, doc, n_members); fps disjoint along the chain
+    base_clusters = base_ledgers[0].output(spark, "cluster")
+
+    def done(stage: str) -> bool:
+        return stop_after == stage
+
+    # -- assemble + fingerprint the new batch only ---------------------------
+    conv = ledger.run(
+        spark, "assemble", lambda: add_fingerprint(assemble_conversations(new_turns), "doc")
+    )
+    out["conv"] = conv
+    if done("assemble"):
+        return out
+
+    # -- exact: batch-internal dedup + routing to committed reps -------------
+    # committed rows = fps the corpus has NEVER seen (chain fps stay
+    # disjoint → day-N unions need no precedence logic)
+    def _exact() -> DataFrame:
+        batch = conv.groupBy("fp").agg(
+            F.min("conv_id").alias("rep_id"),
+            F.min("doc").alias("doc"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        return batch.join(old_exact.select("fp"), "fp", "left_anti")
+
+    exact = ledger.run(spark, "exact", _exact)
+    out["exact"] = exact
+    if done("exact"):
+        return out
+    # every new member → its rep (committed base rep for re-seen fps,
+    # batch rep for new fps); derived from committed outputs, like
+    # run_pipeline's exact_edges
+    rep_map = old_exact.select("fp", F.col("rep_id").alias("rep")).unionByName(
+        exact.select("fp", F.col("rep_id").alias("rep"))
+    )
+    exact_edges = (
+        conv.select("fp", F.col("conv_id").alias("conv_b"))
+        .join(rep_map, "fp")
+        .filter(F.col("rep") != F.col("conv_b"))
+        .select(F.col("rep").alias("conv_a"), "conv_b")
+    )
+    reps_new = exact.select(F.col("rep_id").alias("conv_id"), "doc")
+
+    # -- sign the new reps only ----------------------------------------------
+    def _sign() -> DataFrame:
+        par = max(1, spark.sparkContext.defaultParallelism * 2)
+        return add_signatures(
+            reps_new.repartition(par), "doc",
+            k=cfg.k, n_perms=cfg.n_perms, seed=cfg.seed,
+            enable_simhash=cfg.enable_simhash,
+            enable_substring=cfg.enable_substring,
+            substring_k=cfg.substring_k, substring_w=cfg.substring_w,
+        ).drop("doc")
+
+    signed_new = ledger.run(spark, "sign", _sign)
+    out["signed"] = signed_new
+    if done("sign"):
+        return out
+
+    signed_all = old_sign.withColumn("is_new", F.lit(False)).unionByName(
+        signed_new.withColumn("is_new", F.lit(True))
+    )
+
+    # -- candidates touching the new batch ------------------------------------
+    cands = ledger.run(
+        spark, "candidates", lambda: build_candidates(signed_all, cfg, new_col="is_new")
+    )
+    out["candidates"] = cands
+    if done("candidates"):
+        return out
+
+    # -- verify (docs for the doc-level channels come from the chain) ---------
+    reps_docs = old_exact.select(
+        F.col("rep_id").alias("conv_id"), "doc"
+    ).unionByName(reps_new)
+    verified = ledger.run(
+        spark, "verify",
+        lambda: build_verify(cands, signed_all.drop("is_new"), reps_docs, cfg),
+    )
+    out["verified"] = verified
+    if done("verify"):
+        return out
+
+    # -- cluster: merge into the committed assignment --------------------------
+    def _cluster() -> DataFrame:
+        edges = verified.select("conv_a", "conv_b").unionByName(
+            exact_edges.select("conv_a", "conv_b")
+        )
+        return incremental_update(base_clusters, edges, conv.select("conv_id"))
+
+    clusters = ledger.run(spark, "cluster", _cluster)
+    out["clusters"] = clusters
+
+    if gc:
+        # candidates feeds only verify; sign/exact deltas MUST survive for
+        # the next increment in the chain
         ledger.gc("candidates")
 
     return out
