@@ -420,6 +420,66 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
+SPAN_TOKENS = 16  # span-dedup window width (tokens), shared with the oracle
+
+
+def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup, detection half: 16-token windows that
+    occur in >= 2 distinct documents, with the global first occurrence
+    (min packed (doc, idx) ordinal — the reference's first-occurrence
+    rule at span granularity, src/wfindfirst.cpp:48-57)."""
+    from wdedup_spark.operators.spandedup import doc_spans, duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = doc_spans(docs, "text", "doc_id", mode="window", span_tokens=SPAN_TOKENS)
+    return duplicate_spans(spans, min_docs=2).select(
+        "span",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("first_doc").cast("long").alias("first_doc"),
+        F.col("first_idx").cast("long").alias("first_idx"),
+    )
+
+
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup, removal half: every 16-token window
+    keeps only its globally first occurrence; survivors re-assemble in
+    order into cleaned documents (fully-deduplicated docs come back with
+    clean_text = '')."""
+    from wdedup_spark.operators.spandedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(
+        docs, "text", "doc_id", mode="window", span_tokens=SPAN_TOKENS
+    ).select(F.col("id").cast("long").alias("doc_id"), "clean_text")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: exact cosine pairs at the 0.45
+    data threshold (the continuous regime — no LSH margin exists, see
+    q_embedding_dup_pairs) → connected components → keep the min-id
+    vector per semantic group.  Output is the full keep/drop decision:
+    (vec_id, rep_id, kept)."""
+    from wdedup_spark.operators.ann import exact_cosine_pairs
+    from wdedup_spark.operators.cluster import cluster_assignments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        exact_cosine_pairs(emb, threshold=0.45, block_size=1024)
+        .withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= 0.45)
+    )
+    ids = emb.select(F.col("vec_id").alias("conv_id"))
+    edges = pairs.select(
+        F.col("vec_a").alias("conv_a"), F.col("vec_b").alias("conv_b")
+    )
+    return cluster_assignments(ids, edges).select(
+        F.col("conv_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("rep_id"),
+        (F.col("conv_id") == F.col("cluster_id")).alias("kept"),
+    )
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: ALL vector pairs with cosine >= 0.45,
     exact.  The data has no margin at the threshold (pair cosines are
@@ -677,6 +737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "span_dup_stats": q_span_dup_stats,
+        "span_dedup_docs": q_span_dedup_docs,
+        "semantic_dedup": q_semantic_dedup,
         "media_dedup": q_media_dedup,
         "ann_topk": q_ann_topk,
         "ivf_topk_exact": q_ivf_topk_exact,
@@ -852,6 +915,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT content_hash, min(doc_id)::BIGINT AS rep_id,
                count(*)::BIGINT AS n_members
         FROM s GROUP BY content_hash
+    """
+
+    # span-level dedup: the packed ordinal pos = doc_id * 2^20 + span_idx
+    # states the first-occurrence rule identically on both engines
+    # (operators/spandedup.POS_BASE)
+    _spans_cte = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), spans AS (
+          SELECT doc_id, g AS span_idx,
+                 array_to_string(t[g*{SPAN_TOKENS}+1 : g*{SPAN_TOKENS}+{SPAN_TOKENS}], ' ') AS span,
+                 doc_id * 1048576 + g AS pos
+          FROM toks, unnest(range(CAST(ceil(len(t)/{SPAN_TOKENS}.0) AS BIGINT))) AS u(g)
+          WHERE len(t) > 0
+        )
+    """
+    sql["span_dup_stats"] = _spans_cte + """
+        SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_occurrences,
+               (min(pos) // 1048576)::BIGINT AS first_doc,
+               (min(pos) % 1048576)::BIGINT AS first_idx
+        FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    """
+
+    sql["span_dedup_docs"] = _spans_cte + """
+        , keepers AS (
+          SELECT span, min(pos) AS first_pos FROM spans GROUP BY span
+        ), kept AS (
+          SELECT s.doc_id, s.span_idx, s.span
+          FROM spans s JOIN keepers k ON s.span = k.span AND s.pos = k.first_pos
+        )
+        SELECT d.doc_id::BIGINT AS doc_id,
+               coalesce(string_agg(k.span, ' ' ORDER BY k.span_idx), '') AS clean_text
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id
+    """
+
+    sql["semantic_dedup"] = """
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), pairs AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        ), edges AS (
+          SELECT va AS src, vb AS dst FROM pairs
+          UNION ALL
+          SELECT vb, va FROM pairs
+        ), closure AS (
+          SELECT vec_id AS node, vec_id AS comp FROM e
+          UNION
+          SELECT ed.dst AS node, c.comp
+          FROM closure c JOIN edges ed ON ed.src = c.node
+          WHERE c.comp < ed.dst
+        )
+        SELECT node::BIGINT AS vec_id, min(comp)::BIGINT AS rep_id,
+               (node = min(comp)) AS kept
+        FROM closure GROUP BY node
     """
 
     sql["embedding_dup_pairs"] = """

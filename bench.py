@@ -59,6 +59,9 @@ HEADLINE = [
     "edit_dup_pairs",
     "cosine_highsim_pairs",
     "token_stats",
+    "span_dup_stats",
+    "span_dedup_docs",
+    "semantic_dedup",
     "media_dedup",
     "embedding_dup_pairs",
     "ann_topk",
