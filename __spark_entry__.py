@@ -454,6 +454,20 @@ def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").cast("long").alias("doc_id"), "clean_text")
 
 
+def q_prefix_subsumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-subsumption dedup (agent-transcript retry/continuation
+    case): per-doc boolean — is this text a PROPER prefix of another
+    doc's text?  Distributed as range-partition + per-slice backward
+    scan + O(partitions) boundary stitch (operators/prefixdedup.py);
+    the oracle states the same predicate as a correlated EXISTS."""
+    from wdedup_spark.operators.prefixdedup import prefix_subsumed
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_subsumed(docs, "text", "doc_id").select(
+        F.col("id").cast("long").alias("doc_id"), "subsumed"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup: exact cosine pairs at the 0.45
     data threshold (the continuous regime — no LSH margin exists, see
@@ -739,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "span_dup_stats": q_span_dup_stats,
         "span_dedup_docs": q_span_dedup_docs,
+        "prefix_subsumed": q_prefix_subsumed,
         "semantic_dedup": q_semantic_dedup,
         "media_dedup": q_media_dedup,
         "ann_topk": q_ann_topk,
@@ -951,6 +966,15 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN kept k USING (doc_id)
         GROUP BY d.doc_id
+    """
+
+    sql["prefix_subsumed"] = """
+        SELECT a.doc_id::BIGINT AS doc_id,
+               EXISTS (
+                 SELECT 1 FROM documents b
+                 WHERE len(b.text) > len(a.text) AND starts_with(b.text, a.text)
+               ) AS subsumed
+        FROM documents a
     """
 
     sql["semantic_dedup"] = """

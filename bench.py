@@ -61,6 +61,7 @@ HEADLINE = [
     "token_stats",
     "span_dup_stats",
     "span_dedup_docs",
+    "prefix_subsumed",
     "semantic_dedup",
     "media_dedup",
     "embedding_dup_pairs",

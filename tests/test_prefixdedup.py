@@ -1,0 +1,76 @@
+"""Prefix-subsumption dedup vs a transparent O(n²) Python oracle,
+including forced cross-partition boundaries and equal-text runs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from wdedup_spark.operators.prefixdedup import prefix_subsumed, remove_prefix_subsumed
+
+
+def oracle(docs: list[tuple[int, str]]) -> dict[int, bool]:
+    out = {}
+    for i, t in docs:
+        out[i] = any(len(t2) > len(t) and t2.startswith(t) for j, t2 in docs if j != i)
+    return out
+
+
+def _check(spark, docs, n_partitions):
+    df = spark.createDataFrame(docs, ["conv_id", "doc"])
+    got = {
+        r.id: r.subsumed
+        for r in prefix_subsumed(df, n_partitions=n_partitions).collect()
+    }
+    assert got == oracle(docs)
+
+
+def test_basic_prefix_chain(spark):
+    docs = [
+        (1, "a b c"),
+        (2, "a b c d e"),      # extends 1
+        (3, "a b c d e"),      # exact dup of 2 — NOT subsumed by 2
+        (4, "a b c d e f"),    # extends 2/3 -> 2 and 3 ARE subsumed
+        (5, "z z z"),
+        (6, "q"),
+    ]
+    _check(spark, docs, n_partitions=2)
+
+
+def test_equal_run_not_subsumed_without_extension(spark):
+    docs = [(1, "x y"), (2, "x y"), (3, "x y"), (4, "other")]
+    _check(spark, docs, n_partitions=3)
+
+
+def test_boundary_stitch_across_partitions(spark):
+    # many partitions over few rows forces runs and their extensions into
+    # different range slices; equal runs spanning whole partitions
+    # exercise the skip-equal-slices walk
+    docs = [(i, "p q r") for i in range(20)] + [(100, "p q r s"), (101, "a")]
+    _check(spark, docs, n_partitions=8)
+
+
+def test_randomized_vs_oracle(spark):
+    rng = random.Random(11)
+    vocab = ["a", "b", "c"]
+    docs = []
+    texts = []
+    for i in range(120):
+        if texts and rng.random() < 0.4:
+            base = rng.choice(texts)
+            ext = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 3)))
+            t = (base + " " + ext).strip() if ext else base  # prefix, dup, or extension
+        else:
+            t = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 6)))
+        texts.append(t)
+        docs.append((i, t))
+    for parts in (2, 5, 13):
+        _check(spark, docs, parts)
+
+
+def test_remove_prefix_subsumed_keeps_other_columns(spark):
+    docs = [(1, "a b", "s1"), (2, "a b c", "s2"), (3, "z", "s3")]
+    df = spark.createDataFrame(docs, ["conv_id", "doc", "source"])
+    kept = remove_prefix_subsumed(df).orderBy("conv_id").collect()
+    assert [(r.conv_id, r.source) for r in kept] == [(2, "s2"), (3, "s3")]
