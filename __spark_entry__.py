@@ -459,12 +459,15 @@ def q_prefix_subsumed(spark: SparkSession, sf_dir: str) -> DataFrame:
     case): per-doc boolean — is this text a PROPER prefix of another
     doc's text?  Distributed as range-partition + per-slice backward
     scan + O(partitions) boundary stitch (operators/prefixdedup.py);
-    the oracle states the same predicate as a correlated EXISTS."""
+    witness is the subsuming doc — deterministically the min-(text, id)
+    proper extension, mirrored by the oracle's LATERAL min."""
     from wdedup_spark.operators.prefixdedup import prefix_subsumed
 
     docs = _t(spark, sf_dir, "documents")
     return prefix_subsumed(docs, "text", "doc_id").select(
-        F.col("id").cast("long").alias("doc_id"), "subsumed"
+        F.col("id").cast("long").alias("doc_id"),
+        "subsumed",
+        F.col("witness").cast("long").alias("witness"),
     )
 
 
@@ -970,11 +973,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["prefix_subsumed"] = """
         SELECT a.doc_id::BIGINT AS doc_id,
-               EXISTS (
-                 SELECT 1 FROM documents b
-                 WHERE len(b.text) > len(a.text) AND starts_with(b.text, a.text)
-               ) AS subsumed
-        FROM documents a
+               w.wid IS NOT NULL AS subsumed,
+               w.wid::BIGINT AS witness
+        FROM documents a LEFT JOIN LATERAL (
+          SELECT b.doc_id AS wid FROM documents b
+          WHERE len(b.text) > len(a.text) AND starts_with(b.text, a.text)
+          ORDER BY b.text, b.doc_id LIMIT 1
+        ) w ON true
     """
 
     sql["semantic_dedup"] = """

@@ -5,22 +5,28 @@ from __future__ import annotations
 
 import random
 
-import pytest
+from wdedup_spark.operators.prefixdedup import (
+    prefix_edges,
+    prefix_subsumed,
+    remove_prefix_subsumed,
+)
 
-from wdedup_spark.operators.prefixdedup import prefix_subsumed, remove_prefix_subsumed
 
-
-def oracle(docs: list[tuple[int, str]]) -> dict[int, bool]:
+def oracle(docs: list[tuple[int, str]]) -> dict[int, tuple[bool, int | None]]:
+    """subsumed + witness: min-(text, id) proper extension."""
     out = {}
     for i, t in docs:
-        out[i] = any(len(t2) > len(t) and t2.startswith(t) for j, t2 in docs if j != i)
+        exts = [
+            (t2, j) for j, t2 in docs if len(t2) > len(t) and t2.startswith(t)
+        ]
+        out[i] = (True, min(exts)[1]) if exts else (False, None)
     return out
 
 
 def _check(spark, docs, n_partitions):
     df = spark.createDataFrame(docs, ["conv_id", "doc"])
     got = {
-        r.id: r.subsumed
+        r.id: (r.subsumed, r.witness)
         for r in prefix_subsumed(df, n_partitions=n_partitions).collect()
     }
     assert got == oracle(docs)
@@ -67,6 +73,16 @@ def test_randomized_vs_oracle(spark):
         docs.append((i, t))
     for parts in (2, 5, 13):
         _check(spark, docs, parts)
+
+
+def test_prefix_edges_connect_chains(spark):
+    docs = [(1, "a b"), (2, "a b c"), (3, "a b c d"), (4, "z")]
+    edges = {
+        (r.conv_a, r.conv_b)
+        for r in prefix_edges(spark.createDataFrame(docs, ["conv_id", "doc"])).collect()
+    }
+    # 1's smallest extension is 2; 2's is 3 — the chain connects transitively
+    assert edges == {(2, 1), (3, 2)}
 
 
 def test_remove_prefix_subsumed_keeps_other_columns(spark):

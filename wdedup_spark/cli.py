@@ -19,7 +19,7 @@ import argparse
 import json
 import sys
 
-STAGES = ["assemble", "exact", "sign", "candidates", "verify", "cluster"]
+STAGES = ["assemble", "exact", "prefix", "sign", "candidates", "verify", "cluster"]
 
 
 def _add_pipeline_args(d: argparse.ArgumentParser) -> None:
@@ -33,6 +33,10 @@ def _add_pipeline_args(d: argparse.ArgumentParser) -> None:
     d.add_argument("--max-bucket", type=int, default=256)
     d.add_argument("--no-simhash", action="store_true")
     d.add_argument("--no-substring", action="store_true")
+    d.add_argument("--prefix", action="store_true",
+                   help="prefix-subsumption channel: cluster conversations "
+                        "that are byte prefixes of longer ones (batch "
+                        "pipeline only — dedup-incr rejects it)")
     d.add_argument("--min-span", type=int, default=100)
     d.add_argument("--sync-ranges", type=int, default=8,
                    help="sub-stage commit granularity for the sign stage — the "
@@ -87,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         threshold=args.threshold, seed=args.seed, max_bucket=args.max_bucket,
         enable_simhash=not args.no_simhash, enable_substring=not args.no_substring,
         substring_min_span=args.min_span, sync_ranges=args.sync_ranges,
+        enable_prefix=getattr(args, "prefix", False),
     )
     turns = read_turns(spark, args.input)
     if args.cmd == "dedup-incr":

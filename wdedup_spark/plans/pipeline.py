@@ -63,6 +63,11 @@ class PipelineConfig:
     substring_k: int = 16
     substring_w: int = 48
     substring_min_span: int = 100  # tokens of verbatim overlap
+    enable_prefix: bool = False    # prefix-subsumption channel: a doc that
+    # is a proper byte prefix of another (transcript retry/continuation)
+    # joins its extension's cluster — invisible to both exact dedup and
+    # shingle similarity (operators/prefixdedup.py).  Batch pipeline only;
+    # the incremental path documents the restriction.
     verify_edit: bool = False      # second verification channel: pairs that
     edit_threshold: float = 0.85   # fail Jaccard but have edit-sim >= this pass
     edit_margin: float = 0.45      # edit candidates keep a wider MinHash-estimate
@@ -321,6 +326,21 @@ def run_pipeline(
     # near-dup stages see one representative per distinct document
     reps = exact.select(F.col("rep_id").alias("conv_id"), "doc")
 
+    # -- stage 2b (optional): prefix-subsumption edges over the reps ----------
+    # runs on DISTINCT documents (exact-first means no equal-text runs),
+    # one range exchange + O(partitions) driver stitch; commits
+    # (conv_a=witness, conv_b=prefix) edges for the cluster union
+    prefix_edge_df = None
+    if cfg.enable_prefix:
+        from wdedup_spark.operators.prefixdedup import prefix_edges
+
+        prefix_edge_df = ledger.run(
+            spark, "prefix", lambda: prefix_edges(reps, "doc", "conv_id")
+        )
+        out["prefix_edges"] = prefix_edge_df
+        if done("prefix"):
+            return out
+
     # -- stage 3: sign (narrow, ONE fused vectorized pandas UDF) --------------
     # The single most expensive Python stage, so it commits per key-range
     # (run_ranged = the reference's --sync-distance analog): a crash mid-
@@ -379,6 +399,8 @@ def run_pipeline(
         edges = verified.select("conv_a", "conv_b").unionByName(
             exact_edges.select("conv_a", "conv_b")
         )
+        if prefix_edge_df is not None:
+            edges = edges.unionByName(prefix_edge_df.select("conv_a", "conv_b"))
         return cluster_assignments(conv.select("conv_id"), edges)
 
     clusters = ledger.run(spark, "cluster", _cluster)
@@ -466,6 +488,16 @@ def run_incremental(
     increment's ``candidates`` (its sign delta must survive for the next
     increment in the chain).
     """
+    if cfg.enable_prefix:
+        # cross-batch prefix detection needs the committed corpus in
+        # global lexicographic order — a corpus-wide re-sort per day,
+        # which breaks this function's O(new batch) contract.  Refuse
+        # loudly rather than silently missing cross-day prefixes; run
+        # the periodic full pipeline for the prefix channel.
+        raise NotImplementedError(
+            "enable_prefix is batch-pipeline-only (corpus-order operator); "
+            "run_incremental would silently miss cross-day prefixes"
+        )
     ledger = StageLedger(workdir, config_fence=cfg.fence(), spark=spark)
     out: dict = {"ledger": ledger}
 
