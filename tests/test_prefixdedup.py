@@ -85,6 +85,13 @@ def test_prefix_edges_connect_chains(spark):
     assert edges == {(2, 1), (3, 2)}
 
 
+def test_null_text_is_answered_not_crashed(spark):
+    docs = [(1, "a b"), (2, "a b c"), (3, None)]
+    df = spark.createDataFrame(docs, "conv_id long, doc string")
+    got = {r.id: (r.subsumed, r.witness) for r in prefix_subsumed(df).collect()}
+    assert got == {1: (True, 2), 2: (False, None), 3: (False, None)}
+
+
 def test_remove_prefix_subsumed_keeps_other_columns(spark):
     docs = [(1, "a b", "s1"), (2, "a b c", "s2"), (3, "z", "s3")]
     df = spark.createDataFrame(docs, ["conv_id", "doc", "source"])

@@ -75,6 +75,15 @@ def prefix_subsumed(
     """
     spark = df.sparkSession
     rows = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # null text has no prefix relation to anything: answer it directly
+    # (subsumed=false, no witness) instead of letting None reach the
+    # pandas scans; the union keeps the contract total over input rows
+    nulls = rows.filter(F.col("text").isNull()).select(
+        "id",
+        F.lit(False).alias("subsumed"),
+        F.lit(None).cast(rows.schema["id"].dataType).alias("witness"),
+    )
+    rows = rows.filter(F.col("text").isNotNull())
     par = n_partitions or max(spark.sparkContext.defaultParallelism, 2)
     ranged = (
         rows.repartitionByRange(par, "text", "id")
@@ -172,7 +181,7 @@ def prefix_subsumed(
              "witness": pd.Series(wit, dtype="object")}
         )
 
-    return ranged.mapInPandas(scan, out_schema)
+    return ranged.mapInPandas(scan, out_schema).unionByName(nulls)
 
 
 def prefix_edges(

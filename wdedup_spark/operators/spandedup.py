@@ -90,12 +90,20 @@ def doc_spans(
 
 
 def _with_pos(spans: DataFrame) -> DataFrame:
+    # the packing is only injective while span_idx < POS_BASE; a >16M-token
+    # document (at the default window) must fail loudly, not scramble
+    # first-occurrence order
+    guard = F.assert_true(
+        F.col("span_idx") < POS_BASE, F.lit("span_idx exceeds POS_BASE packing")
+    )
     return spans.select(
         "id",
         "span_idx",
         "span",
         F.sha2(F.col("span"), 256).alias("span_fp"),
-        (F.col("id").cast("long") * POS_BASE + F.col("span_idx")).alias("pos"),
+        F.when(
+            guard.isNull(), F.col("id").cast("long") * POS_BASE + F.col("span_idx")
+        ).alias("pos"),
     )
 
 
