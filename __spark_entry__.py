@@ -477,15 +477,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_embedding_dup_pairs) → connected components → keep the min-id
     vector per semantic group.  Output is the full keep/drop decision:
     (vec_id, rep_id, kept)."""
-    from wdedup_spark.operators.ann import exact_cosine_pairs
     from wdedup_spark.operators.cluster import cluster_assignments
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = (
-        exact_cosine_pairs(emb, threshold=0.45, block_size=1024)
-        .withColumn("cosine", F.round("cosine", 6))
-        .filter(F.col("cosine") >= 0.45)
-    )
+    # the 0.45/round-6 pair contract lives in exactly one place:
+    # q_embedding_dup_pairs (its oracle and this one must stay in sync)
+    pairs = q_embedding_dup_pairs(spark, sf_dir)
     ids = emb.select(F.col("vec_id").alias("conv_id"))
     edges = pairs.select(
         F.col("vec_a").alias("conv_a"), F.col("vec_b").alias("conv_b")
@@ -949,20 +946,25 @@ def oracle_sql() -> dict[str, str]:
           WHERE len(t) > 0
         )
     """
+    # empty spans are structure, not content: excluded from dup stats,
+    # always kept in reconstruction (mirrors operators/spandedup.py)
     sql["span_dup_stats"] = _spans_cte + """
         SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs,
                count(*)::BIGINT AS n_occurrences,
                (min(pos) // 1048576)::BIGINT AS first_doc,
                (min(pos) % 1048576)::BIGINT AS first_idx
-        FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        FROM spans WHERE span <> ''
+        GROUP BY span HAVING count(DISTINCT doc_id) >= 2
     """
 
     sql["span_dedup_docs"] = _spans_cte + """
         , keepers AS (
-          SELECT span, min(pos) AS first_pos FROM spans GROUP BY span
+          SELECT span, min(pos) AS first_pos FROM spans
+          WHERE span <> '' GROUP BY span
         ), kept AS (
           SELECT s.doc_id, s.span_idx, s.span
-          FROM spans s JOIN keepers k ON s.span = k.span AND s.pos = k.first_pos
+          FROM spans s LEFT JOIN keepers k ON s.span = k.span
+          WHERE k.first_pos IS NULL OR s.pos = k.first_pos
         )
         SELECT d.doc_id::BIGINT AS doc_id,
                coalesce(string_agg(k.span, ' ' ORDER BY k.span_idx), '') AS clean_text

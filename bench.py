@@ -135,9 +135,11 @@ def main() -> None:
     turns = synth.to_spark(spark, res).repartition(int(cpus) * 2)
     turns = turns.localCheckpoint(eager=True)  # materialize input outside timing
     n_turns = turns.count()
-    # steady state is best-of-2 (same contention rationale as the query
-    # loop below); the cold first run is recorded separately
-    for label in ("transcript_pipeline_cold", "transcript_pipeline", "transcript_pipeline"):
+    # steady state is best-of-BENCH_REPEAT (same contention rationale and
+    # same knob as the query loop below); the cold first run is recorded
+    # separately
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
+    for label in ["transcript_pipeline_cold"] + ["transcript_pipeline"] * repeat:
         workdir = tempfile.mkdtemp(prefix="bench-pipe-")
         try:
             t0 = time.perf_counter()
@@ -181,7 +183,7 @@ def main() -> None:
             # with a clean steal counter — BENCH.md round 4); min of two
             # runs discards the unluckier draw at ~2x bench wall
             best = None
-            for _ in range(max(1, int(os.environ.get("BENCH_REPEAT", "2")))):
+            for _ in range(repeat):
                 t0 = time.perf_counter()  # include plan construction: some
                 force(qs[name](spark, sf_dir))  # operators (CC) run jobs during it
                 dt = time.perf_counter() - t0
@@ -207,7 +209,7 @@ def main() -> None:
                 "cpus": int(cpus),
                 "order": order,
                 "isolation": "per-query-subprocess" if isolate else "shared-session-in-order",
-                "repeat": 1 if isolate else max(1, int(os.environ.get("BENCH_REPEAT", "2"))),
+                "repeat": 1 if isolate else repeat,
                 **({"errors": errors} if errors else {}),
             }
         )

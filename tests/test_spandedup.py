@@ -121,6 +121,29 @@ def test_window_mode_randomized_vs_oracle(spark):
     assert got_dups == want_dups
 
 
+def test_dup_free_input_round_trips_including_blank_paragraphs(spark):
+    docs = [(1, "a\n\nb\n"), (2, "c d\ne")]  # blank para + trailing delim
+    got = {r.id: r.clean_text for r in remove_duplicate_spans(
+        spark.createDataFrame(docs, ["conv_id", "doc"]), mode="delim"
+    ).collect()}
+    assert got == dict(docs)
+
+
+def test_delim_is_literal_not_regex(spark):
+    docs = [(1, "a.b"), (2, "a.z")]
+    spans = doc_spans(
+        spark.createDataFrame(docs, ["conv_id", "doc"]), mode="delim", delim="."
+    )
+    got = {(r.id, r.span_idx, r.span) for r in spans.collect()}
+    assert got == {(1, 0, "a"), (1, 1, "b"), (2, 0, "a"), (2, 1, "z")}
+
+
+def test_string_ids_rejected_loudly(spark):
+    df = spark.createDataFrame([("x", "a b")], ["conv_id", "doc"])
+    with pytest.raises(TypeError, match="integral id"):
+        duplicate_spans(doc_spans(df)).collect()
+
+
 def test_window_spans_are_slices_with_packed_pos(spark):
     df = spark.createDataFrame([(5, " ".join(str(j) for j in range(20)))], ["conv_id", "doc"])
     rows = doc_spans(df, mode="window", span_tokens=16).orderBy("span_idx").collect()

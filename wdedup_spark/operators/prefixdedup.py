@@ -30,9 +30,11 @@ neighbors under a total order) lifted to a cluster:
   (bounded by partition count, never by data) and rebroadcast, the
   same economy as the ledger's footer-only row counts.
 
-The second pass reuses the first pass's range-exchange shuffle files
-(same lineage → Spark skips the exchanged stages), so the corpus text
-crosses the wire once.
+The sorted corpus is localCheckpoint'ed before the two passes: Spark's
+RangePartitioner re-samples per job, so without pinning, the summary
+pass and the scan pass would see different partition boundaries and the
+stitch would be wrong (not just slow).  The corpus text therefore
+crosses the wire once and is materialized once.
 """
 
 from __future__ import annotations
@@ -85,9 +87,19 @@ def prefix_subsumed(
     )
     rows = rows.filter(F.col("text").isNotNull())
     par = n_partitions or max(spark.sparkContext.defaultParallelism, 2)
+    # localCheckpoint PINS the range partitioning: RangePartitioner
+    # samples per JOB (seeded by rdd id), so without it the summary pass
+    # and the scan pass would see DIFFERENT partition boundaries and the
+    # stitch map would be applied to slices it wasn't computed from
+    # (verified empirically: two actions on the same repartitionByRange
+    # produced different bounds at 200k rows).  Cost: one materialized
+    # copy on executor storage for the operator's duration — on a real
+    # cluster with a checkpoint dir, checkpoint() gives the same pinning
+    # with executor-loss tolerance.
     ranged = (
         rows.repartitionByRange(par, "text", "id")
         .sortWithinPartitions("text", "id")
+        .localCheckpoint(eager=True)
         .withColumn("pid", F.spark_partition_id())
     )
 

@@ -61,16 +61,21 @@ def doc_spans(
 
     ``window`` mode tokenizes on single spaces and emits non-overlapping
     ``span_tokens``-token windows (the tail window may be short);
-    ``delim`` mode splits on the paragraph delimiter.  Empty documents
-    produce no spans (mirrors the SQL oracle's ``len(t) > 0`` guard —
-    and dodges Spark's ``sequence(0, -1)`` descending-step surprise).
+    ``delim`` mode splits on the LITERAL paragraph delimiter (regex
+    metacharacters are neutralized — split and the reconstruction joiner
+    must agree on the same string) and keeps empty spans: blank
+    paragraphs are document STRUCTURE, which ``remove_duplicate_spans``
+    must preserve (``duplicate_spans`` ignores them).  Null texts
+    produce no spans.
     """
     sid = F.col(id_col).alias("id")
     if mode == "delim":
-        out = df.select(
-            sid, F.posexplode(F.split(F.col(text_col), delim)).alias("span_idx", "span")
+        return df.select(
+            sid,
+            F.posexplode(
+                F.split(F.col(text_col), "\\Q" + delim + "\\E")
+            ).alias("span_idx", "span"),
         )
-        return out.filter(F.length("span") > 0)
     if mode != "window":
         raise ValueError(f"mode must be 'delim' or 'window', got {mode!r}")
     toks = F.split(F.col(text_col), " ")
@@ -90,6 +95,18 @@ def doc_spans(
 
 
 def _with_pos(spans: DataFrame) -> DataFrame:
+    from pyspark.sql import types as T
+
+    # the packed ordinal needs a NUMERIC id: a non-castable id (string
+    # conv_ids) would turn every pos NULL and "dedup" the corpus to
+    # nothing — fail loudly instead (hash or zipWithIndex string ids
+    # before calling, as the driver queries do with doc_id)
+    id_type = spans.schema["id"].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"span dedup requires an integral id column, got {id_type.simpleString()}; "
+            "derive one first (e.g. xxhash64 of the string id)"
+        )
     # the packing is only injective while span_idx < POS_BASE; a >16M-token
     # document (at the default window) must fail loudly, not scramble
     # first-occurrence order
@@ -114,7 +131,7 @@ def duplicate_spans(spans: DataFrame, min_docs: int = 2) -> DataFrame:
     One hash aggregate on the 32-byte digest; ``min(span)`` recovers the
     text (every row in a digest group is the identical string)."""
     return (
-        _with_pos(spans)
+        _with_pos(spans.filter(F.length("span") > 0))
         .groupBy("span_fp")
         .agg(
             F.min("span").alias("span"),
@@ -127,7 +144,10 @@ def duplicate_spans(spans: DataFrame, min_docs: int = 2) -> DataFrame:
             "span",
             "n_docs",
             "n_occurrences",
-            (F.col("first_pos") / POS_BASE).cast("long").alias("first_doc"),
+            # integer div, not `/`: long / long is DOUBLE division in
+            # Spark, and pos > 2^53 (id > ~2^33) would round across a
+            # document boundary
+            F.expr(f"first_pos div {POS_BASE}").cast("long").alias("first_doc"),
             (F.col("first_pos") % POS_BASE).cast("long").alias("first_idx"),
         )
     )
@@ -152,10 +172,17 @@ def remove_duplicate_spans(
     spans = _with_pos(
         doc_spans(df, text_col, id_col, mode=mode, delim=delim, span_tokens=span_tokens)
     )
-    keepers = spans.groupBy("span_fp").agg(F.min("pos").alias("first_pos"))
+    # empty spans (blank paragraphs in delim mode) are structure, not
+    # content: they never enter the keeper contest and are always kept,
+    # so dup-free input round-trips byte-identically
+    keepers = (
+        spans.filter(F.length("span") > 0)
+        .groupBy("span_fp")
+        .agg(F.min("pos").alias("first_pos"))
+    )
     kept = (
-        spans.join(keepers, "span_fp")
-        .filter(F.col("pos") == F.col("first_pos"))
+        spans.join(keepers, "span_fp", "left")
+        .filter(F.col("first_pos").isNull() | (F.col("pos") == F.col("first_pos")))
         .groupBy("id")
         .agg(
             F.array_join(

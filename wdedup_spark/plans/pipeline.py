@@ -266,6 +266,10 @@ def run_pipeline(
     outputs (sign, candidates) once the final stage commits (O14,
     src/wmerge.cpp:141-144); resumed runs then skip straight to the
     surviving outputs."""
+    if stop_after == "prefix" and not cfg.enable_prefix:
+        # without the guard this debug invocation would silently run the
+        # ENTIRE pipeline (no done() check ever matches)
+        raise ValueError("stop_after='prefix' requires enable_prefix=True")
     ledger = StageLedger(workdir, config_fence=cfg.fence(), spark=spark)
     out: dict = {"ledger": ledger}
 
@@ -498,6 +502,8 @@ def run_incremental(
             "enable_prefix is batch-pipeline-only (corpus-order operator); "
             "run_incremental would silently miss cross-day prefixes"
         )
+    if stop_after == "prefix":
+        raise ValueError("run_incremental has no prefix stage")
     ledger = StageLedger(workdir, config_fence=cfg.fence(), spark=spark)
     out: dict = {"ledger": ledger}
 
