@@ -454,6 +454,28 @@ def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").cast("long").alias("doc_id"), "clean_text")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment join (prefix-filtered AllPairs/PPJoin,
+    operators/containment.py): all pairs with
+    |A∩B| / min(|A|,|B|) >= 0.85 over k=3 shingle sets — EXACT, the
+    prefix filter is lossless, so the all-pairs oracle is the operator's
+    contract (not a sampling coincidence).  At the tested SFs the data
+    plants no containment-only pairs (quote-in-document), so the output
+    coincides with the near-dup set; the operator's asymmetric-pair
+    behavior is pinned by tests/test_containment.py's planted quotes."""
+    from wdedup_spark.operators.containment import containment_join
+
+    signed, _ = _signed_candidates(spark, sf_dir)
+    return (
+        containment_join(signed, threshold=0.85, shingle_col="shingles")
+        .select(
+            F.col("conv_a").cast("long").alias("doc_a"),
+            F.col("conv_b").cast("long").alias("doc_b"),
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
 def q_prefix_subsumed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-subsumption dedup (agent-transcript retry/continuation
     case): per-doc boolean — is this text a PROPER prefix of another
@@ -753,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "span_dup_stats": q_span_dup_stats,
         "span_dedup_docs": q_span_dedup_docs,
+        "containment_pairs": q_containment_pairs,
         "prefix_subsumed": q_prefix_subsumed,
         "semantic_dedup": q_semantic_dedup,
         "media_dedup": q_media_dedup,
@@ -971,6 +994,20 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN kept k USING (doc_id)
         GROUP BY d.doc_id
+    """
+
+    # containment-in-smaller; the operator drops zero-shingle sets and
+    # the tested tables have none (min 20 tokens), so no empty-set CASE
+    # is needed on either side
+    sql["containment_pairs"] = _SHINGLES_CTE + """
+        , pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE /
+                       least(len(a.s), len(b.s)), 6) AS containment
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0
+        )
+        SELECT doc_a, doc_b, containment FROM pairs WHERE containment >= 0.85
     """
 
     sql["prefix_subsumed"] = """

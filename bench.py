@@ -62,6 +62,7 @@ HEADLINE = [
     "span_dup_stats",
     "span_dedup_docs",
     "prefix_subsumed",
+    "containment_pairs",
     "semantic_dedup",
     "media_dedup",
     "embedding_dup_pairs",

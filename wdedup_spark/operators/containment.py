@@ -1,0 +1,130 @@
+"""Set-containment similarity join — prefix-filtered AllPairs/PPJoin.
+
+The asymmetric case the Jaccard channels structurally miss: a short
+document quoted inside a much longer one has containment
+``|A∩B| / min(|A|,|B|) ≈ 1`` but Jaccard ``≈ |A|/|B| → 0``, and
+MinHash-LSH band collisions vanish with the Jaccard, so no number of
+bands recovers the pair.  This operator finds all pairs with
+containment ≥ t EXACTLY, using the prefix-filtering principle of the
+set-similarity-join literature (Bayardo et al. "Scaling Up All Pairs
+Similarity Search", WWW'07; PPJoin, Xiao et al. WWW'08):
+
+  order every set consistently by ascending global token frequency
+  (rarest first); if ``|S∩L| ≥ α`` then ANY ``|S|-α+1`` elements of S
+  contain at least one intersection element (pigeonhole).  With
+  ``α = t·min(|S|,|L|)`` and S the smaller set, S's first
+  ``|S| - ⌈t·|S|⌉ + 1`` tokens must hit the intersection — so indexing
+  ONLY those prefix tokens per set, and probing with EVERY token of
+  candidate larger sets, is lossless.
+
+Plan shape (all JVM until the exact verify):
+
+* global token frequencies: one aggregate over the exploded sets;
+* per-set frequency-ascending order: one groupBy(id) re-collect (the
+  only place a whole set sits in one aggregation buffer — bounded by
+  document size, same bound the signing stage carries);
+* candidate generation: inverted-index equi-join ``prefix(tk) ⨝
+  tokens(tk)`` with ``size_index ≤ size_probe`` — the index side posts
+  each set's RAREST tokens, so posting lists are short by construction
+  (the whole point of frequency ordering: hot tokens almost never make
+  a prefix);
+* exact containment verify on the surviving pairs only (vectorized
+  intersect over the pre-distinct arrays).
+
+At a corpus whose documents are near-identical tiny sets the prefix
+lists degenerate toward full lists (classic PPJoin worst case) — run
+exact dedup first (the pipeline invariant) and the degenerate mass
+collapses to single representatives before this join sees it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+@pandas_udf(DoubleType())
+def containment_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact containment-in-smaller |A∩B| / min(|A|,|B|) of two
+    pre-distinct array columns (1.0 when both empty, 0.0 when exactly
+    one is empty)."""
+    out = np.empty(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        sa = np.asarray(a.iloc[i])
+        sb = np.asarray(b.iloc[i])
+        if len(sa) == 0 or len(sb) == 0:
+            out[i] = 1.0 if len(sa) == len(sb) else 0.0
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        out[i] = inter / min(len(sa), len(sb))
+    return pd.Series(out)
+
+
+def containment_join(
+    shingled: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "conv_id",
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """All pairs with containment ≥ ``threshold`` over pre-distinct
+    shingle-set arrays → ``(conv_a, conv_b, containment)`` with
+    ``conv_a < conv_b``.  Exact (prefix filtering is lossless); see the
+    module docstring for the candidate-generation argument."""
+    t = float(threshold)
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    sets = shingled.select(
+        F.col(id_col).alias("id"), F.array_distinct(F.col(shingle_col)).alias("sh")
+    )
+    sized = sets.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+    tok = sized.select("id", "sz", F.explode("sh").alias("tk"))
+
+    # global ascending frequency; ties broken by token value so every
+    # set is ordered by the SAME total order (required for the filter)
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(freq, "tk")
+        .groupBy("id")
+        .agg(
+            F.first("sz").alias("sz"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tk"))), lambda s: s.tk
+            ).alias("otoks"),
+        )
+    )
+    # prefix length |X| - ceil(t|X|) + 1  (>= 1).  round-before-ceil: in
+    # binary floating point 0.9*10 == 9.000000000000002, and a naive
+    # ceil would shrink the prefix below the lossless bound
+    plen = (
+        F.col("sz") - F.ceil(F.round(F.col("sz") * t, 6)) + 1
+    ).cast("int")
+    prefix = ordered.select(
+        F.col("id").alias("id_i"),
+        F.col("sz").alias("sz_i"),
+        F.explode(F.slice("otoks", 1, plen)).alias("tk"),
+    )
+    probe = tok.select(
+        F.col("id").alias("id_p"), F.col("sz").alias("sz_p"), "tk"
+    )
+    cands = (
+        prefix.join(probe, "tk")
+        .filter((F.col("sz_i") <= F.col("sz_p")) & (F.col("id_i") != F.col("id_p")))
+        .select(
+            F.least("id_i", "id_p").alias("conv_a"),
+            F.greatest("id_i", "id_p").alias("conv_b"),
+        )
+        .distinct()
+    )
+    a = sets.select(F.col("id").alias("conv_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("conv_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "conv_a")
+        .join(b, "conv_b")
+        .withColumn("containment", containment_udf(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("containment") >= t)
+        .select("conv_a", "conv_b", "containment")
+    )
