@@ -19,7 +19,8 @@ import argparse
 import json
 import sys
 
-STAGES = ["assemble", "exact", "prefix", "sign", "candidates", "verify", "cluster"]
+STAGES = ["assemble", "exact", "prefix", "sign", "candidates", "verify",
+          "containment", "cluster"]
 
 
 def _add_pipeline_args(d: argparse.ArgumentParser) -> None:
@@ -37,6 +38,11 @@ def _add_pipeline_args(d: argparse.ArgumentParser) -> None:
                    help="prefix-subsumption channel: cluster conversations "
                         "that are byte prefixes of longer ones (batch "
                         "pipeline only — dedup-incr rejects it)")
+    d.add_argument("--containment", action="store_true",
+                   help="set-containment channel: cluster quote-in-"
+                        "transcript pairs (containment >= threshold over "
+                        "shingle sets; batch pipeline only)")
+    d.add_argument("--containment-threshold", type=float, default=0.9)
     d.add_argument("--min-span", type=int, default=100)
     d.add_argument("--sync-ranges", type=int, default=8,
                    help="sub-stage commit granularity for the sign stage — the "
@@ -92,6 +98,8 @@ def main(argv: list[str] | None = None) -> int:
         enable_simhash=not args.no_simhash, enable_substring=not args.no_substring,
         substring_min_span=args.min_span, sync_ranges=args.sync_ranges,
         enable_prefix=getattr(args, "prefix", False),
+        enable_containment=getattr(args, "containment", False),
+        containment_threshold=getattr(args, "containment_threshold", 0.9),
     )
     turns = read_turns(spark, args.input)
     if args.cmd == "dedup-incr":

@@ -68,6 +68,11 @@ class PipelineConfig:
     # joins its extension's cluster — invisible to both exact dedup and
     # shingle similarity (operators/prefixdedup.py).  Batch pipeline only;
     # the incremental path documents the restriction.
+    enable_containment: bool = False  # set-containment channel (quote-in-
+    # transcript: containment ~1, Jaccard ~|A|/|B| — outside every band
+    # config's reach).  Prefix-filtered AllPairs join over the committed
+    # shingle sets (operators/containment.py); batch pipeline only.
+    containment_threshold: float = 0.9
     verify_edit: bool = False      # second verification channel: pairs that
     edit_threshold: float = 0.85   # fail Jaccard but have edit-sim >= this pass
     edit_margin: float = 0.45      # edit candidates keep a wider MinHash-estimate
@@ -270,6 +275,8 @@ def run_pipeline(
         # without the guard this debug invocation would silently run the
         # ENTIRE pipeline (no done() check ever matches)
         raise ValueError("stop_after='prefix' requires enable_prefix=True")
+    if stop_after == "containment" and not cfg.enable_containment:
+        raise ValueError("stop_after='containment' requires enable_containment=True")
     ledger = StageLedger(workdir, config_fence=cfg.fence(), spark=spark)
     out: dict = {"ledger": ledger}
 
@@ -398,6 +405,26 @@ def run_pipeline(
     if done("verify"):
         return out
 
+    # -- stage 5b (optional): containment channel -----------------------------
+    # prefix-filtered set-containment join over the committed shingle
+    # sets (operators/containment.py): quote-in-transcript pairs whose
+    # Jaccard is ~|A|/|B| and therefore invisible to every band config.
+    # Consumes the sign stage's shingles — no re-tokenization.
+    containment_edge_df = None
+    if cfg.enable_containment:
+        from wdedup_spark.operators.containment import containment_join
+
+        containment_edge_df = ledger.run(
+            spark,
+            "containment",
+            lambda: containment_join(
+                signed, threshold=cfg.containment_threshold, shingle_col="shingles"
+            ),
+        )
+        out["containment_pairs"] = containment_edge_df
+        if done("containment"):
+            return out
+
     # -- stage 6: cluster (iterative hash-to-min CC) ---------------------------
     def _cluster() -> DataFrame:
         edges = verified.select("conv_a", "conv_b").unionByName(
@@ -405,6 +432,10 @@ def run_pipeline(
         )
         if prefix_edge_df is not None:
             edges = edges.unionByName(prefix_edge_df.select("conv_a", "conv_b"))
+        if containment_edge_df is not None:
+            edges = edges.unionByName(
+                containment_edge_df.select("conv_a", "conv_b")
+            )
         return cluster_assignments(conv.select("conv_id"), edges)
 
     clusters = ledger.run(spark, "cluster", _cluster)
@@ -502,8 +533,16 @@ def run_incremental(
             "enable_prefix is batch-pipeline-only (corpus-order operator); "
             "run_incremental would silently miss cross-day prefixes"
         )
-    if stop_after == "prefix":
-        raise ValueError("run_incremental has no prefix stage")
+    if cfg.enable_containment:
+        # an incremental containment channel is tractable in principle
+        # (the token-keyed prefix index is incrementally maintainable
+        # from the committed sign tables) but is not built; refuse
+        # loudly rather than silently missing cross-day quote pairs
+        raise NotImplementedError(
+            "enable_containment is batch-pipeline-only for now"
+        )
+    if stop_after in ("prefix", "containment"):
+        raise ValueError(f"run_incremental has no {stop_after} stage")
     ledger = StageLedger(workdir, config_fence=cfg.fence(), spark=spark)
     out: dict = {"ledger": ledger}
 
