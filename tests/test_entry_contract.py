@@ -23,6 +23,11 @@ SUBSET = [
     "events_rollup",
     "find_top_unique",
     "revenue_by_nation",
+    "span_dup_stats",
+    "span_dedup_docs",
+    "prefix_subsumed",
+    "containment_pairs",
+    "semantic_dedup",
 ]
 
 pytestmark = pytest.mark.skipif(
