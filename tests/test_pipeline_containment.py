@@ -52,10 +52,60 @@ def test_without_channel_quote_is_singleton(spark, turns_with_quote, tmp_path):
     assert _cluster_of(out, "quote-conv") != _cluster_of(out, src)
 
 
-def test_incremental_refuses_containment(spark, turns_with_quote, tmp_path):
-    turns, _ = turns_with_quote
-    with pytest.raises(NotImplementedError):
-        run_incremental(
-            spark, turns, str(tmp_path / "b"), str(tmp_path / "i"),
-            PipelineConfig(enable_containment=True),
+def _turns_rows(conv_id, tokens):
+    rows = []
+    for i in range(0, len(tokens), 10):
+        rows.append(
+            (conv_id, i // 10, "user", " ".join(tokens[i:i + 10]), None, i // 10)
         )
+    return rows
+
+
+def test_incremental_containment_matches_full_recompute(spark, tmp_path):
+    """Day-1 quotes of an OLD doc and of a NEW day-1 doc both cluster,
+    and the increment equals the full recompute — the same-day token
+    order needs no frozen-frequency state (lossless for any single
+    consistent order)."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", LongType()),
+    ])
+    L = [f"w{i:03d}" for i in range(100)]
+    G = [f"g{i:03d}" for i in range(80)]
+    day0 = {"L": L, "m1": [f"m{i:03d}" for i in range(90)]}
+    day1 = {
+        "qL": L[30:],        # quote of OLD doc L: containment ~0.95, J ~0.67
+        "G": G,
+        "qG": G[:50],        # quote of NEW day-1 doc G
+        "n1": [f"n{i:03d}" for i in range(70)],
+    }
+    def df(docs):
+        rows = []
+        for cid, toks in docs.items():
+            rows.extend(_turns_rows(cid, toks))
+        return spark.createDataFrame(rows, schema)
+
+    cfg = PipelineConfig(enable_containment=True)
+    base = str(tmp_path / "day0")
+    run_pipeline(spark, df(day0), base, cfg)
+    inc = run_incremental(spark, df(day1), base, str(tmp_path / "day1"), cfg)
+    got = sorted((r["conv_id"], r["cluster_id"]) for r in inc["clusters"].collect())
+    want = sorted(
+        (r["conv_id"], r["cluster_id"])
+        for r in run_pipeline(
+            spark, df({**day0, **day1}), str(tmp_path / "full"), cfg
+        )["clusters"].collect()
+    )
+    assert got == want
+    by = dict(got)
+    assert by["qL"] == by["L"]      # cross-day quote joins the OLD doc's cluster
+    assert by["qG"] == by["G"]      # day-internal quote pair
+    assert by["n1"] == "n1"         # novel doc stays a singleton

@@ -41,7 +41,8 @@ def _add_pipeline_args(d: argparse.ArgumentParser) -> None:
     d.add_argument("--containment", action="store_true",
                    help="set-containment channel: cluster quote-in-"
                         "transcript pairs (containment >= threshold over "
-                        "shingle sets; batch pipeline only)")
+                        "shingle sets; dedup-incr expands only pairs "
+                        "touching the new batch)")
     d.add_argument("--containment-threshold", type=float, default=0.9)
     d.add_argument("--min-span", type=int, default=100)
     d.add_argument("--sync-ranges", type=int, default=8,

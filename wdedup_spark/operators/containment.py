@@ -69,19 +69,33 @@ def containment_join(
     threshold: float = 0.9,
     id_col: str = "conv_id",
     shingle_col: str = "shingles",
+    new_col: str | None = None,
 ) -> DataFrame:
     """All pairs with containment ≥ ``threshold`` over pre-distinct
     shingle-set arrays → ``(conv_a, conv_b, containment)`` with
     ``conv_a < conv_b``.  Exact (prefix filtering is lossless); see the
-    module docstring for the candidate-generation argument."""
+    module docstring for the candidate-generation argument.
+
+    ``new_col``: incremental mode — ``shingled`` carries a boolean batch
+    flag and only pairs TOUCHING a flagged set are generated (old×old
+    pairs were emitted by previous increments).  The token order is
+    recomputed over old ∪ new each day — the prefix filter is lossless
+    for ANY single consistent total order, so no frozen-frequency state
+    needs committing; the old side costs one narrow JVM re-explode of
+    the committed shingle arrays (the same economy as the LSH channel's
+    re-banding), never re-tokenization or Python."""
     t = float(threshold)
     if not (0.0 < t <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {t}")
+    flag = [F.col(new_col).alias("nw")] if new_col else []
     sets = shingled.select(
-        F.col(id_col).alias("id"), F.array_distinct(F.col(shingle_col)).alias("sh")
+        F.col(id_col).alias("id"), F.array_distinct(F.col(shingle_col)).alias("sh"),
+        *flag,
     )
     sized = sets.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
-    tok = sized.select("id", "sz", F.explode("sh").alias("tk"))
+    tok = sized.select(
+        "id", "sz", F.explode("sh").alias("tk"), *(["nw"] if new_col else [])
+    )
 
     # global ascending frequency; ties broken by token value so every
     # set is ordered by the SAME total order (required for the filter)
@@ -91,6 +105,7 @@ def containment_join(
         .groupBy("id")
         .agg(
             F.first("sz").alias("sz"),
+            *( [F.first("nw").alias("nw")] if new_col else [] ),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("df", "tk"))), lambda s: s.tk
             ).alias("otoks"),
@@ -105,15 +120,20 @@ def containment_join(
     prefix = ordered.select(
         F.col("id").alias("id_i"),
         F.col("sz").alias("sz_i"),
+        *( [F.col("nw").alias("nw_i")] if new_col else [] ),
         F.explode(F.slice("otoks", 1, plen)).alias("tk"),
     )
     probe = tok.select(
-        F.col("id").alias("id_p"), F.col("sz").alias("sz_p"), "tk"
+        F.col("id").alias("id_p"), F.col("sz").alias("sz_p"), "tk",
+        *( [F.col("nw").alias("nw_p")] if new_col else [] ),
     )
+    cands = prefix.join(probe, "tk").filter(
+        (F.col("sz_i") <= F.col("sz_p")) & (F.col("id_i") != F.col("id_p"))
+    )
+    if new_col:
+        cands = cands.filter(F.col("nw_i") | F.col("nw_p"))
     cands = (
-        prefix.join(probe, "tk")
-        .filter((F.col("sz_i") <= F.col("sz_p")) & (F.col("id_i") != F.col("id_p")))
-        .select(
+        cands.select(
             F.least("id_i", "id_p").alias("conv_a"),
             F.greatest("id_i", "id_p").alias("conv_b"),
         )

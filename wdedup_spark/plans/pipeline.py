@@ -71,7 +71,9 @@ class PipelineConfig:
     enable_containment: bool = False  # set-containment channel (quote-in-
     # transcript: containment ~1, Jaccard ~|A|/|B| — outside every band
     # config's reach).  Prefix-filtered AllPairs join over the committed
-    # shingle sets (operators/containment.py); batch pipeline only.
+    # shingle sets (operators/containment.py); supported by both the
+    # batch pipeline and run_incremental (new_col mode: only pairs
+    # touching the day's batch are expanded).
     containment_threshold: float = 0.9
     verify_edit: bool = False      # second verification channel: pairs that
     edit_threshold: float = 0.85   # fail Jaccard but have edit-sim >= this pass
@@ -533,16 +535,10 @@ def run_incremental(
             "enable_prefix is batch-pipeline-only (corpus-order operator); "
             "run_incremental would silently miss cross-day prefixes"
         )
-    if cfg.enable_containment:
-        # an incremental containment channel is tractable in principle
-        # (the token-keyed prefix index is incrementally maintainable
-        # from the committed sign tables) but is not built; refuse
-        # loudly rather than silently missing cross-day quote pairs
-        raise NotImplementedError(
-            "enable_containment is batch-pipeline-only for now"
-        )
-    if stop_after in ("prefix", "containment"):
-        raise ValueError(f"run_incremental has no {stop_after} stage")
+    if stop_after == "prefix":
+        raise ValueError("run_incremental has no prefix stage")
+    if stop_after == "containment" and not cfg.enable_containment:
+        raise ValueError("stop_after='containment' requires enable_containment=True")
     ledger = StageLedger(workdir, config_fence=cfg.fence(), spark=spark)
     out: dict = {"ledger": ledger}
 
@@ -661,11 +657,38 @@ def run_incremental(
     if done("verify"):
         return out
 
+    # -- containment channel (optional): pairs touching the new batch --------
+    # same-day token order over old ∪ new (lossless for any single
+    # consistent order — no frozen-frequency state), old side re-exploded
+    # JVM-side from the committed shingle arrays, only new-touching
+    # candidates expanded (containment_join new_col mode).  Old×old pairs
+    # were emitted by previous increments; like the LSH channel, this
+    # assumes the channel ran (same threshold) on every prior day.
+    containment_edge_df = None
+    if cfg.enable_containment:
+        from wdedup_spark.operators.containment import containment_join
+
+        containment_edge_df = ledger.run(
+            spark,
+            "containment",
+            lambda: containment_join(
+                signed_all, threshold=cfg.containment_threshold,
+                shingle_col="shingles", new_col="is_new",
+            ),
+        )
+        out["containment_pairs"] = containment_edge_df
+        if done("containment"):
+            return out
+
     # -- cluster: merge into the committed assignment --------------------------
     def _cluster() -> DataFrame:
         edges = verified.select("conv_a", "conv_b").unionByName(
             exact_edges.select("conv_a", "conv_b")
         )
+        if containment_edge_df is not None:
+            edges = edges.unionByName(
+                containment_edge_df.select("conv_a", "conv_b")
+            )
         return incremental_update(base_clusters, edges, conv.select("conv_id"))
 
     clusters = ledger.run(spark, "cluster", _cluster)
