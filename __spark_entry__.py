@@ -466,12 +466,17 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wdedup_spark.operators.containment import containment_join
 
     signed, _ = _signed_candidates(spark, sf_dir)
+    # 1e-6 slack then round-then-filter: the oracle rounds to 6 places
+    # BEFORE comparing, so a raw containment in [t - 5e-7, t) must reach
+    # the rounding (same convention as q_embedding_dup_pairs' tile slack)
     return (
-        containment_join(signed, threshold=0.85, shingle_col="shingles")
+        containment_join(signed, threshold=0.85 - 1e-6, shingle_col="shingles")
+        .withColumn("containment", F.round("containment", 6))
+        .filter(F.col("containment") >= 0.85)
         .select(
             F.col("conv_a").cast("long").alias("doc_a"),
             F.col("conv_b").cast("long").alias("doc_b"),
-            F.round("containment", 6).alias("containment"),
+            "containment",
         )
     )
 

@@ -52,6 +52,20 @@ def test_without_channel_quote_is_singleton(spark, turns_with_quote, tmp_path):
     assert _cluster_of(out, "quote-conv") != _cluster_of(out, src)
 
 
+def test_increment_refuses_chain_without_containment(spark, turns_with_quote, tmp_path):
+    """A chain day that skipped the channel leaves permanent silent
+    holes in old×old pairs — the increment must refuse, like the
+    retained-sign check."""
+    turns, _ = turns_with_quote
+    base = str(tmp_path / "plainbase")
+    run_pipeline(spark, turns, base, PipelineConfig())  # no containment
+    with pytest.raises(ValueError, match="EVERY chain day"):
+        run_incremental(
+            spark, turns, base, str(tmp_path / "incr"),
+            PipelineConfig(enable_containment=True),
+        )
+
+
 def _turns_rows(conv_id, tokens):
     rows = []
     for i in range(0, len(tokens), 10):

@@ -138,6 +138,17 @@ def test_delim_is_literal_not_regex(spark):
     assert got == {(1, 0, "a"), (1, 1, "b"), (2, 0, "a"), (2, 1, "z")}
 
 
+def test_delim_containing_quote_terminator_round_trips(spark):
+    # "\E" inside the delimiter would close the \Q...\E regex quote early
+    # without Pattern.quote-style re-escaping
+    delim = "\\E"
+    docs = [(1, f"a b{delim}c d"), (2, f"a b{delim}x")]
+    got = {r.id: r.clean_text for r in remove_duplicate_spans(
+        spark.createDataFrame(docs, ["conv_id", "doc"]), mode="delim", delim=delim
+    ).collect()}
+    assert got == {1: f"a b{delim}c d", 2: "x"}
+
+
 def test_string_ids_rejected_loudly(spark):
     df = spark.createDataFrame([("x", "a b")], ["conv_id", "doc"])
     with pytest.raises(TypeError, match="integral id"):

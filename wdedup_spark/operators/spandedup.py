@@ -70,11 +70,13 @@ def doc_spans(
     """
     sid = F.col(id_col).alias("id")
     if mode == "delim":
+        # java.util.regex.Pattern.quote semantics: embedded "\E" would
+        # otherwise close the \Q...\E quote early (or dangle), making
+        # split and the raw-string reconstruction joiner disagree
+        quoted = "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
         return df.select(
             sid,
-            F.posexplode(
-                F.split(F.col(text_col), "\\Q" + delim + "\\E")
-            ).alias("span_idx", "span"),
+            F.posexplode(F.split(F.col(text_col), quoted)).alias("span_idx", "span"),
         )
     if mode != "window":
         raise ValueError(f"mode must be 'delim' or 'window', got {mode!r}")
@@ -105,13 +107,18 @@ def _with_pos(spans: DataFrame) -> DataFrame:
     if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         raise TypeError(
             f"span dedup requires an integral id column, got {id_type.simpleString()}; "
-            "derive one first (e.g. xxhash64 of the string id)"
+            "derive a DENSE nonnegative id first (e.g. zipWithIndex / row_number — "
+            "NOT a 64-bit hash: the packed ordinal needs ids below 2^43)"
         )
-    # the packing is only injective while span_idx < POS_BASE; a >16M-token
-    # document (at the default window) must fail loudly, not scramble
-    # first-occurrence order
+    # the packing is only injective while span_idx < POS_BASE AND the id
+    # sits in [0, 2^43): a >16M-token document, a negative id, or a
+    # full-range hashed id must fail loudly, not silently wrap mod 2^64
+    # (ANSI is off for the hash kernels) and dedup the wrong occurrences
     guard = F.assert_true(
-        F.col("span_idx") < POS_BASE, F.lit("span_idx exceeds POS_BASE packing")
+        (F.col("span_idx") < POS_BASE)
+        & (F.col("id").cast("long") >= 0)
+        & (F.col("id").cast("long") < F.lit(1 << 43)),
+        F.lit("span dedup packing needs span_idx < 2^20 and id in [0, 2^43)"),
     )
     return spans.select(
         "id",

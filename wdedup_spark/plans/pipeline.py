@@ -563,6 +563,15 @@ def run_incremental(
                     f"incremental run needs the retained '{stage}' stage in "
                     f"{bl.workdir} — run the base with gc=False / --no-gc"
                 )
+        if cfg.enable_containment and not bl.is_committed("containment"):
+            # the new_col mode only expands pairs touching today's batch,
+            # so old×old quote pairs must have been emitted when their
+            # members were new — a chain day that skipped the channel
+            # leaves permanent silent holes; refuse like sign/exact do
+            raise ValueError(
+                f"enable_containment requires the channel on EVERY chain "
+                f"day, but {bl.workdir} has no committed containment stage"
+            )
     if not base_ledgers[0].is_committed("cluster"):
         raise ValueError(f"base {chain[0]} has no committed cluster stage")
 
