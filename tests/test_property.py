@@ -90,3 +90,40 @@ def test_to_i64_roundtrip_property(vals):
     for v in vals:
         signed = hashing.to_i64(v)
         assert signed % (1 << 64) == v % (1 << 64)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(st.text("ab", max_size=4), st.integers(0, 9)), max_size=30)
+)
+def test_succ_run_property(pairs):
+    """prefixdedup._succ_run: for each position of a sorted slice, the
+    (text, id) of the first row of the next distinct-text run."""
+    from wdedup_spark.operators.prefixdedup import _succ_run
+
+    pairs = sorted(pairs)
+    texts = [t for t, _ in pairs]
+    ids = [i for _, i in pairs]
+    got = _succ_run(texts, ids)
+    for i in range(len(pairs)):
+        want = None
+        for j in range(i + 1, len(pairs)):
+            if texts[j] != texts[i]:
+                want = (texts[j], ids[j])
+                break
+        assert got[i] == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=10**7), st.integers(min_value=1, max_value=100))
+def test_containment_prefix_bound_float_safe(sz, t_pct):
+    """The round-before-ceil prefix bound equals the exact rational
+    ceil(t*sz) for every set size and percent threshold — the lossless
+    bound is never shrunk by binary-float artifacts (0.9*10 -> 9.0000…2)."""
+    import math
+    from fractions import Fraction
+
+    t = t_pct / 100.0
+    got_alpha = math.ceil(round(sz * t, 6))
+    want_alpha = math.ceil(Fraction(t_pct, 100) * sz)
+    assert got_alpha == want_alpha
