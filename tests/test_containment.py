@@ -78,6 +78,32 @@ def test_empty_and_singleton_sets(spark):
     _run(spark, sets, 0.9)
 
 
+def test_prefix_bound_production_expression_vs_exact(spark):
+    """The PRODUCTION prefix-bound Column (prefix_bound_len — Spark
+    HALF_UP round, not Python banker's) equals the exact rational bound
+    over a dense (size, percent-threshold) grid."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from wdedup_spark.operators.containment import prefix_bound_len
+
+    grid = spark.range(1, 3001).selectExpr("id as sz").crossJoin(
+        spark.range(1, 101).selectExpr("id as t_pct")
+    )
+    rows = []
+    for t_pct in (1, 7, 50, 80, 85, 90, 95, 99, 100):
+        got = (
+            grid.filter(F.col("t_pct") == t_pct)
+            .select("sz", prefix_bound_len(F.col("sz"), t_pct / 100.0).alias("plen"))
+            .collect()
+        )
+        for r in got:
+            want = r.sz - math.ceil(Fraction(t_pct, 100) * r.sz) + 1
+            assert r.plen == want, (r.sz, t_pct, r.plen, want)
+
+
 def test_candidate_filter_is_lossless_before_verify(spark):
     """Every oracle pair must appear among candidates (verify can only
     remove false positives, never recover a missed candidate)."""

@@ -117,9 +117,10 @@ def test_succ_run_property(pairs):
 @settings(max_examples=200, deadline=None)
 @given(st.integers(min_value=1, max_value=10**7), st.integers(min_value=1, max_value=100))
 def test_containment_prefix_bound_float_safe(sz, t_pct):
-    """The round-before-ceil prefix bound equals the exact rational
-    ceil(t*sz) for every set size and percent threshold — the lossless
-    bound is never shrunk by binary-float artifacts (0.9*10 -> 9.0000…2)."""
+    """Model-level check of the round-before-ceil trick (the production
+    Spark Column itself — HALF_UP rounding — is pinned against exact
+    rational arithmetic over a grid in
+    tests/test_containment.py::test_prefix_bound_production_expression_vs_exact)."""
     import math
     from fractions import Fraction
 

@@ -1,8 +1,8 @@
 """Streaming containment probe: new docs flagged against a static corpus
-in BOTH subsumption directions, with batch-operator parity."""
+in BOTH subsumption directions, with batch-operator parity and
+index/probe threshold coupling."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from wdedup_spark.operators.containment import containment_join
 from wdedup_spark.operators.minhash import add_signatures
@@ -30,15 +30,19 @@ def corpus(spark):
     return docs, long, short
 
 
-def test_stream_containment_both_directions(spark, tmp_path, corpus):
-    docs, long, short = corpus
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    docs, _, _ = corpus
     static = spark.createDataFrame(docs, "conv_id string, doc string")
     signed = add_signatures(
         static, "doc", k=3, n_perms=32,
         enable_simhash=False, enable_substring=False,
     ).select("conv_id", "shingles")
-    idx = containment_index(signed, T)
+    return containment_index(signed, T)
 
+
+def test_stream_containment_both_directions(spark, tmp_path, corpus, index):
+    docs, long, short = corpus
     new_docs = [
         ("new-quote", _doc(long[50:110])),   # stream doc ⊂ idx-long
         ("new-super", _doc(short + [f"x{i}" for i in range(120)])),  # idx-short ⊂ stream doc
@@ -48,7 +52,7 @@ def test_stream_containment_both_directions(spark, tmp_path, corpus):
     spark.createDataFrame(new_docs, "conv_id string, doc string").coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
 
-    flags = stream_containment_flags(stream, idx, T, k=3, n_perms=32)
+    flags = stream_containment_flags(stream, index, k=3)
     q = (
         flags.writeStream.format("memory")
         .queryName("cont_sink")
@@ -56,7 +60,7 @@ def test_stream_containment_both_directions(spark, tmp_path, corpus):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "streaming query did not finish in time"
     got = {
         (r.conv_id, r.index_id)
         for r in spark.sql("SELECT DISTINCT conv_id, index_id FROM cont_sink").collect()
@@ -69,11 +73,20 @@ def test_stream_containment_both_directions(spark, tmp_path, corpus):
         all_docs, "doc", k=3, n_perms=32,
         enable_simhash=False, enable_substring=False,
     ).select("conv_id", "shingles")
-    batch = {
-        (r.conv_a, r.conv_b)
-        for r in containment_join(all_signed, T).collect()
-    }
-    cross = {
-        tuple(sorted(p)) for p in got
-    }
-    assert cross <= {tuple(sorted(p)) for p in batch}
+    batch = {tuple(sorted(p)) for p in (
+        (r.conv_a, r.conv_b) for r in containment_join(all_signed, T).collect()
+    )}
+    assert {tuple(sorted(p)) for p in got} <= batch
+
+
+def test_probe_below_index_threshold_rejected(spark, index):
+    """The index's prefix postings are sized for its build threshold;
+    probing lower would be silently lossy in the indexed-smaller
+    direction — must refuse."""
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as conv_id", "'a b c' as doc"
+    )
+    with pytest.raises(ValueError, match="below the index build threshold"):
+        stream_containment_flags(stream, index, threshold=0.5)
+    with pytest.raises(ValueError, match="threshold"):
+        stream_containment_flags(stream, index, threshold=1.5)

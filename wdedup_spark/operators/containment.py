@@ -64,6 +64,18 @@ def containment_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def prefix_bound_len(sz_col, t: float):
+    """Lossless prefix length |X| − ⌈t·|X|⌉ + 1 (≥ 1) as a Column.
+
+    round-before-ceil: in binary floating point ``0.9*10 ==
+    9.000000000000002`` and a naive ceil would shrink the prefix below
+    the lossless bound exactly at threshold-boundary overlaps.  The ONE
+    copy of this numeric trick — the streaming probe imports it, and a
+    Spark-grid test pins this very expression against exact rational
+    arithmetic (tests/test_containment.py)."""
+    return (sz_col - F.ceil(F.round(sz_col * t, 6)) + 1).cast("int")
+
+
 def containment_join(
     shingled: DataFrame,
     threshold: float = 0.9,
@@ -111,12 +123,7 @@ def containment_join(
             ).alias("otoks"),
         )
     )
-    # prefix length |X| - ceil(t|X|) + 1  (>= 1).  round-before-ceil: in
-    # binary floating point 0.9*10 == 9.000000000000002, and a naive
-    # ceil would shrink the prefix below the lossless bound
-    plen = (
-        F.col("sz") - F.ceil(F.round(F.col("sz") * t, 6)) + 1
-    ).cast("int")
+    plen = prefix_bound_len(F.col("sz"), t)
     prefix = ordered.select(
         F.col("id").alias("id_i"),
         F.col("sz").alias("sz_i"),
