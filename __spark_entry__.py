@@ -620,13 +620,15 @@ def q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe hyperplane-LSH approximate top-k (VERDICT r3 #4's last
-    pytest-only ANN strategy), driver-visible as a rows-only check: the
-    random planes are seeded numpy — not SQL-expressible — so no
-    ``oracle_sql`` entry exists BY DESIGN and the driver records the
-    weaker rows/schema signal.  Recall vs exact brute force is pinned in
-    tests/test_ann.py (>= 0.6 @ k=5 on clustered data; the production
-    recall knobs are n_bits and the Hamming-1 probe set)."""
+    """Multi-probe hyperplane-LSH approximate top-k, fully
+    oracle-checkable (VERDICT r4 #1): the planes are md5-derived ±1
+    Rademacher entries (``ann.md5_planes`` — entry (d, b) = +1 iff the
+    first hex nibble of md5('d:b') is odd), so DuckDB mirrors the
+    bucketing, the Hamming-1 probe set, and the in-bucket cosine re-rank
+    bit-for-bit — the same hash-derived-features move
+    ``q_cosine_highsim_pairs`` made.  Recall vs exact brute force is
+    pinned in tests/test_ann.py (the production recall knobs are n_bits
+    and the probe set)."""
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     from wdedup_spark.operators.ann import lsh_bucketed_topk
@@ -646,7 +648,9 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 StructField("rank", IntegerType()),
             ]),
         )
-    return lsh_bucketed_topk(emb, queries, dim=row["d"], k=5, n_bits=8).select(
+    return lsh_bucketed_topk(
+        emb, queries, dim=row["d"], k=5, n_bits=8, plane_mode="md5"
+    ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "rank",
@@ -1085,6 +1089,56 @@ def oracle_sql() -> dict[str, str]:
     # IVF at n_probe == n_lists is exact brute force (tests pin the
     # degradation), so it shares ann_topk's all-pairs oracle
     sql["ivf_topk_exact"] = sql["ann_topk"]
+
+    # Multi-probe hyperplane LSH with md5-derived ±1 planes
+    # (ann.md5_planes): DuckDB rebuilds the plane matrix from md5,
+    # projects each vector (aligned unnest = one (vec, dim) row per
+    # element), packs the sign bits into the bucket long, probes the
+    # query's own bucket plus all 8 Hamming-1 buckets, and re-ranks the
+    # probed union by exact cosine — statement-for-statement the
+    # lsh_bucketed_topk plan.
+    sql["lsh_topk"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        planes AS (
+          SELECT dd.d, bb.b,
+                 CASE WHEN ('0x' || substr(md5(dd.d::VARCHAR || ':' || bb.b::VARCHAR), 1, 1))::INT % 2 = 1
+                      THEN 1.0 ELSE -1.0 END AS w
+          FROM (SELECT unnest(range((SELECT max(len(v)) FROM e))) AS d) dd
+          CROSS JOIN (SELECT unnest(range(8)) AS b) bb
+        ), vu AS (
+          SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS d FROM e
+        ), proj AS (
+          SELECT vu.vec_id, p.b, sum(vu.x * p.w) AS s
+          FROM vu JOIN planes p USING (d)
+          GROUP BY vu.vec_id, p.b
+        ), sig AS (
+          SELECT vec_id,
+                 sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS bucket
+          FROM proj GROUP BY vec_id
+        ), qsig AS (
+          SELECT vec_id AS query_id, bucket FROM sig WHERE vec_id < 10
+        ), probes AS (
+          SELECT query_id, bucket AS pb FROM qsig
+          UNION ALL
+          SELECT query_id, xor(bucket, 1::BIGINT << bb.b)
+          FROM qsig CROSS JOIN (SELECT unnest(range(8)) AS b) bb
+        ), cand AS (
+          SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+          FROM probes p JOIN sig s ON s.bucket = p.pb
+          WHERE s.vec_id <> p.query_id
+        ), scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_cosine_similarity(eq.v, en.v) AS score
+          FROM cand c
+          JOIN e eq ON eq.vec_id = c.query_id
+          JOIN e en ON en.vec_id = c.neighbor_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank::INT AS rank FROM ranked WHERE rank <= 5
+    """
 
     sql["events_hourly"] = """
         SELECT date_trunc('hour', ts) AS hour, event_type,

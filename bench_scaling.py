@@ -130,14 +130,18 @@ def main() -> None:
     worker_src = WORKER.format(repo=repo)
     results = {}
     CLEAN_STEAL = int(os.environ.get("SCALE_CLEAN_STEAL_JIFFIES", "2500"))
-    MAX_ATTEMPTS = int(os.environ.get("SCALE_MAX_ATTEMPTS", "5"))
+    MAX_ATTEMPTS = int(os.environ.get("SCALE_MAX_ATTEMPTS", "10"))
+    CLEAN_K = int(os.environ.get("SCALE_CLEAN_K", "3"))
     try:
-        # Steal-gated best-of-N: this sandbox shares a hypervisor host and
-        # sees bursts of CPU steal (measured up to 267 stolen CPU-seconds
-        # in one run).  A run only counts if steal during it stayed under
-        # CLEAN_STEAL jiffies; retry up to MAX_ATTEMPTS, take the best
-        # clean wall.  Applied identically to both levels — we measure the
-        # engine, not the neighbors.
+        # Steal-gated clean-window hunting (VERDICT r4 #2: n>=3, median):
+        # this sandbox shares a hypervisor host and sees bursts of CPU
+        # steal (measured up to 267 stolen CPU-seconds in one run).  A run
+        # only counts if steal during it stayed under CLEAN_STEAL jiffies;
+        # each level LOOPS until CLEAN_K clean windows land (or
+        # MAX_ATTEMPTS), and the level's statistic is the MEDIAN clean
+        # wall — one lucky window can no longer carry the headline.
+        # Applied identically to both levels — we measure the engine, not
+        # the neighbors.
         all_runs: list = []
         for spec in (n_low, n_high):
             clean = []
@@ -161,19 +165,29 @@ def main() -> None:
                 line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
                 r["steal_jiffies"] = steal() - s0
-                print(r)
+                print(r, flush=True)
                 if r["steal_jiffies"] <= CLEAN_STEAL:
                     clean.append(r)
                 all_runs.append(r)
-                if len(clean) >= 2:
+                if len(clean) >= CLEAN_K:
                     break
             pool = clean or [x for x in all_runs if x.get("spec") == spec]
-            results[spec] = min(pool, key=lambda x: x["wall_s"])
+            walls = sorted(x["wall_s"] for x in pool)
+            med = walls[len(walls) // 2] if len(walls) % 2 else round(
+                (walls[len(walls) // 2 - 1] + walls[len(walls) // 2]) / 2, 3
+            )
+            results[spec] = {
+                "runs": pool,
+                "n_clean": len(clean),
+                "median_wall_s": med,
+                "best_wall_s": walls[0],
+                "n_turns": pool[0]["n_turns"],
+            }
     finally:
         if not reused:
             shutil.rmtree(src, ignore_errors=True)
 
-    t_lo, t_hi = results[n_low]["wall_s"], results[n_high]["wall_s"]
+    t_lo, t_hi = results[n_low]["median_wall_s"], results[n_high]["median_wall_s"]
     ratio = _total_cores(n_high) / _total_cores(n_low)
 
     def _label(spec: str) -> str:
@@ -182,17 +196,26 @@ def main() -> None:
             return f"local-cluster[{w},{c}] ({w} executor JVMs x {c} cores)"
         return f"local[{spec}]"
 
+    n_turns = results[n_low]["n_turns"]
     eff = (t_lo / t_hi) / ratio
+    eff_best = (results[n_low]["best_wall_s"] / results[n_high]["best_wall_s"]) / ratio
     summary = {
         "protocol": f"{_label(n_low)} vs {_label(n_high)}, same input, same job "
-                    f"(sandbox N->{ratio:g}N; multi-JVM when specs are WxC)",
-        "n_turns": results[n_low]["n_turns"],
+                    f"(sandbox N->{ratio:g}N; multi-JVM when specs are WxC); "
+                    f"median of clean steal-gated windows per level "
+                    f"(target {CLEAN_K} clean windows, gate {CLEAN_STEAL} jiffies)",
+        "n_turns": n_turns,
         f"wall_s_{n_low}": t_lo,
         f"wall_s_{n_high}": t_hi,
-        f"turns_per_sec_{n_low}": results[n_low]["turns_per_sec"],
-        f"turns_per_sec_{n_high}": results[n_high]["turns_per_sec"],
+        f"turns_per_sec_{n_low}": round(n_turns / t_lo, 1),
+        f"turns_per_sec_{n_high}": round(n_turns / t_hi, 1),
+        f"n_clean_{n_low}": results[n_low]["n_clean"],
+        f"n_clean_{n_high}": results[n_high]["n_clean"],
+        f"clean_walls_{n_low}": [r["wall_s"] for r in results[n_low]["runs"]],
+        f"clean_walls_{n_high}": [r["wall_s"] for r in results[n_high]["runs"]],
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_best_window": round(eff_best, 3),
     }
     print(json.dumps(summary))
     with open(os.path.join(repo, f"bench_scaling_{n_low}_{n_high}.json"), "w") as f:

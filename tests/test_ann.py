@@ -129,6 +129,35 @@ def test_lsh_bucketed_recall(spark, emb):
     assert hits / (20 * 5) >= 0.6, f"LSH recall {hits / 100}"
 
 
+def test_lsh_bucketed_recall_md5_planes(spark, emb):
+    """The oracle-checkable plane mode (VERDICT r4 #1): md5-derived ±1
+    Rademacher planes must (a) be deterministic/seedless and (b) keep
+    multi-probe recall in the same regime as the Gaussian planes — the
+    SQL-expressibility must not cost the operator its accuracy."""
+    import numpy as np
+
+    from wdedup_spark.operators.ann import md5_planes
+
+    w = md5_planes(16, 4)
+    assert np.array_equal(w, md5_planes(16, 4))  # deterministic
+    assert set(np.unique(w)) == {-1.0, 1.0}
+    # first entry pinned to the documented rule: md5('0:0') nibble parity
+    import hashlib
+
+    nib = int(hashlib.md5(b"0:0").hexdigest()[0], 16)
+    assert w[0, 0] == (1.0 if nib % 2 == 1 else -1.0)
+
+    df, mat = emb
+    queries = df.filter("vec_id < 20")
+    approx = lsh_bucketed_topk(df, queries, dim=DIM, k=5, n_bits=8, plane_mode="md5")
+    want = _numpy_topk(mat, range(20), 5)
+    by_q = {}
+    for r in approx.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(by_q.get(q, set()) & set(want[q])) for q in range(20))
+    assert hits / (20 * 5) >= 0.6, f"md5-plane LSH recall {hits / 100}"
+
+
 def test_ivf_topk_recall_and_exact_degradation(spark, emb):
     from wdedup_spark.operators.ann import ivf_topk
 
