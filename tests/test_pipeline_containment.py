@@ -66,6 +66,61 @@ def test_increment_refuses_chain_without_containment(spark, turns_with_quote, tm
         )
 
 
+def test_increment_refuses_chain_with_higher_threshold(spark, turns_with_quote, tmp_path):
+    """ADVICE r4 (medium): a chain day committed at a HIGHER containment
+    threshold never emitted old×old pairs in [cfg.t, committed_t) — the
+    increment would claim full-recompute parity over a hole.  The
+    threshold is recorded in the ledger commit entry and validated for
+    every chain day; a LOWER committed threshold is fine (superset)."""
+    turns, _ = turns_with_quote
+    base = str(tmp_path / "hi-t-base")
+    run_pipeline(
+        spark, turns, base, PipelineConfig(enable_containment=True,
+                                           containment_threshold=0.95),
+    )
+    with pytest.raises(ValueError, match="committed containment at"):
+        run_incremental(
+            spark, turns, base, str(tmp_path / "hi-t-incr"),
+            PipelineConfig(enable_containment=True, containment_threshold=0.9),
+        )
+    # lower-committed chain day: allowed (extra pairs, never a hole)
+    lo = str(tmp_path / "lo-t-base")
+    run_pipeline(
+        spark, turns, lo, PipelineConfig(enable_containment=True,
+                                         containment_threshold=0.85),
+    )
+    run_incremental(
+        spark, turns.limit(0), lo, str(tmp_path / "lo-t-incr"),
+        PipelineConfig(enable_containment=True, containment_threshold=0.9),
+    )
+
+
+def test_increment_refuses_unrecorded_threshold(spark, turns_with_quote, tmp_path):
+    """A containment commit with no recorded threshold (pre-metadata
+    ledger) cannot prove chain compatibility — refuse, don't guess."""
+    import json
+    import os
+
+    turns, _ = turns_with_quote
+    base = str(tmp_path / "legacy-base")
+    run_pipeline(spark, turns, base, PipelineConfig(enable_containment=True))
+    ldir = os.path.join(base, "_ledger")
+    for name in os.listdir(ldir):
+        if not name.endswith(".json") or name.startswith("."):
+            continue  # Hadoop LocalFS writes .crc sidecars next to entries
+        p = os.path.join(ldir, name)
+        e = json.loads(open(p).read())
+        if e.get("stage") == "containment" and "rows" in e:
+            e.pop("containment_threshold")
+            open(p, "w").write(json.dumps(e))
+            os.remove(os.path.join(ldir, f".{name}.crc"))  # stale checksum
+    with pytest.raises(ValueError, match="no recorded containment_threshold"):
+        run_incremental(
+            spark, turns, base, str(tmp_path / "legacy-incr"),
+            PipelineConfig(enable_containment=True),
+        )
+
+
 def _turns_rows(conv_id, tokens):
     rows = []
     for i in range(0, len(tokens), 10):

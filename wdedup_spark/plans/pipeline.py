@@ -422,6 +422,10 @@ def run_pipeline(
             lambda: containment_join(
                 signed, threshold=cfg.containment_threshold, shingle_col="shingles"
             ),
+            # recorded so chain validation in run_incremental can check the
+            # threshold this day ACTUALLY committed at (ADVICE r4: base
+            # ledgers open with config_fence="", so the fence never sees it)
+            extra={"containment_threshold": cfg.containment_threshold},
         )
         out["containment_pairs"] = containment_edge_df
         if done("containment"):
@@ -563,15 +567,40 @@ def run_incremental(
                     f"incremental run needs the retained '{stage}' stage in "
                     f"{bl.workdir} — run the base with gc=False / --no-gc"
                 )
-        if cfg.enable_containment and not bl.is_committed("containment"):
-            # the new_col mode only expands pairs touching today's batch,
-            # so old×old quote pairs must have been emitted when their
-            # members were new — a chain day that skipped the channel
-            # leaves permanent silent holes; refuse like sign/exact do
-            raise ValueError(
-                f"enable_containment requires the channel on EVERY chain "
-                f"day, but {bl.workdir} has no committed containment stage"
-            )
+        if cfg.enable_containment:
+            if not bl.is_committed("containment"):
+                # the new_col mode only expands pairs touching today's batch,
+                # so old×old quote pairs must have been emitted when their
+                # members were new — a chain day that skipped the channel
+                # leaves permanent silent holes; refuse like sign/exact do
+                raise ValueError(
+                    f"enable_containment requires the channel on EVERY chain "
+                    f"day, but {bl.workdir} has no committed containment stage"
+                )
+            # ADVICE r4 (medium): committed-at-a-HIGHER-threshold chain days
+            # leave permanent holes in old×old pairs below their threshold
+            # while this increment still claims parity at cfg's — the exact
+            # silent-hole class the is_committed check refuses.  The fence
+            # can't catch it (base ledgers open fenceless), so validate the
+            # threshold recorded in the commit entry itself, mirroring the
+            # probe-vs-index coupling in stream_containment_flags.
+            ce = bl.entry("containment")
+            committed_t = (ce or {}).get("containment_threshold")
+            if committed_t is None:
+                raise ValueError(
+                    f"containment stage in {bl.workdir} has no recorded "
+                    "containment_threshold (pre-threshold-ledger commit) — "
+                    "cannot prove chain compatibility; re-run that day"
+                )
+            if committed_t > cfg.containment_threshold:
+                raise ValueError(
+                    f"chain day {bl.workdir} committed containment at "
+                    f"threshold {committed_t} > today's "
+                    f"{cfg.containment_threshold}: its old×old pairs in "
+                    f"[{cfg.containment_threshold}, {committed_t}) were never "
+                    "emitted — the increment cannot claim full-recompute "
+                    "parity; re-run the chain at the lower threshold"
+                )
     if not base_ledgers[0].is_committed("cluster"):
         raise ValueError(f"base {chain[0]} has no committed cluster stage")
 
@@ -684,6 +713,9 @@ def run_incremental(
                 signed_all, threshold=cfg.containment_threshold,
                 shingle_col="shingles", new_col="is_new",
             ),
+            # this increment becomes a chain day for tomorrow: record the
+            # threshold so the validation above covers it too
+            extra={"containment_threshold": cfg.containment_threshold},
         )
         out["containment_pairs"] = containment_edge_df
         if done("containment"):

@@ -217,6 +217,17 @@ class StageLedger:
             result = result.drop(RANGE_COL)
         return result
 
+    def entry(self, stage: str) -> dict | None:
+        """The committed ledger entry for ``stage`` (the row-count commit
+        record, not gc events) — None if the stage never committed.  Lets
+        chain validators inspect commit METADATA (e.g. the containment
+        threshold a base day ran at) even when the base ledger was opened
+        without a config fence."""
+        for e in self.entries:
+            if e["stage"] == stage and "rows" in e:
+                return e
+        return None
+
     def run(
         self,
         spark: SparkSession,
@@ -225,6 +236,7 @@ class StageLedger:
         repartition: int | None = None,
         range_key: str | None = None,
         n_ranges: int = 0,
+        extra: dict | None = None,
     ) -> DataFrame:
         """Run ``fn`` and commit its output under ``stage`` — or, if already
         committed, read it back untouched (idempotent replay).  A committed
@@ -235,7 +247,12 @@ class StageLedger:
         ``range_key``/``n_ranges``: additionally lay the output out
         partitioned by ``rng = pmod(xxhash64(range_key), n_ranges)`` so a
         downstream ``run_ranged`` stage can partition-prune its per-range
-        input straight off this commit — no staging copy."""
+        input straight off this commit — no staging copy.
+
+        ``extra``: metadata recorded in the commit entry (e.g. the
+        threshold a channel ran at) so later chain runs can validate
+        compatibility against what ACTUALLY committed, not what today's
+        config assumes."""
         if self.is_committed(stage):
             return None if self.is_gcd(stage) else self.output(spark, stage)
         t0 = time.time()
@@ -260,7 +277,7 @@ class StageLedger:
             ).partitionBy(RANGE_COL).parquet(out)
         else:
             df.write.mode("overwrite").parquet(out)
-        return self._commit(stage, out, time.time() - t0)
+        return self._commit(stage, out, time.time() - t0, extra=extra)
 
     def run_ranged(
         self,

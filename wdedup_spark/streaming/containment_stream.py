@@ -2,17 +2,34 @@
 anything already indexed (or vice versa)?
 
 Same decomposition discipline as ``neardup_stream``: everything on the
-stream side is per-row and stateless (shingle, sort, slice-flag,
+stream side is per-row and stateless (shingle, order, slice-flag,
 explode), and the corpus is reached through ONE stream-static equi-join.
 
 Order choice: the prefix filter (operators/containment.py) is lossless
 under ANY single consistent total token order.  The batch operator
-orders by global frequency (shortest postings), but computing corpus
-frequencies for a stream row would need a stream-side aggregation —
-stateful.  Here both sides order by TOKEN VALUE instead: per-row
-``array_sort``, zero state, same losslessness; the trade is
-unoptimized posting lists (hot tokens can land in value-ordered
-prefixes), which the pipeline's exact-first invariant keeps tolerable.
+orders by exact global frequency (shortest postings), but computing
+corpus frequencies for a stream row would need a stream-side
+aggregation — stateful.  Round 4 used TOKEN VALUE order (zero state,
+same losslessness) at the cost of unoptimized posting lists: a hot
+boilerplate token can land in a value-ordered prefix and fatten its
+posting list to O(corpus).  Round 5 (VERDICT r4 #3) restores the
+frequency optimization WITHOUT state: the index build collects the
+corpus's top-``freq_top`` hot tokens (df ≥ 2) into a bounded driver map
+that ships to executors inside the ordering UDF's closure; both sides
+order by ``(freqs.get(tk, 0), tk)`` — unmapped (rare/unseen) tokens
+sort first by value, mapped hot tokens sort last by ascending df.  That
+is still a single consistent total order (losslessness intact), still
+stateless on the stream (the map is static, broadcast once per query),
+and hot tokens now structurally cannot enter a prefix unless a set
+consists of nothing else.  The map is bounded by ``freq_top`` — at
+100 TB only the head of the token df distribution matters for posting
+length, so capping it loses nothing.
+
+The index records its build ``threshold`` AND shingle ``k``
+(ADVICE r4): the prefix postings are sized for the threshold, and the
+stream must shingle with the same k — a lower probe threshold or a
+mismatched k would silently produce false negatives, so both are
+validated loudly.
 
 Both subsumption directions ride one join on the token key against a
 union of the two static posting tables, each tagged with its role:
@@ -35,13 +52,57 @@ this operator stateless.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DataType
 
 from wdedup_spark.operators.containment import containment_udf, prefix_bound_len
 from wdedup_spark.operators.minhash import add_shingles
+
+
+def freq_order_udf(freqs: dict, arr_type: DataType):
+    """Vectorized ordering UDF: each (pre-distinct) token array sorted by
+    the single consistent total order ``(freqs.get(tk, 0), tk)`` — rare
+    and unseen tokens first (value order among themselves), hot tokens
+    last by ascending document frequency.  One flattened
+    (row, df, token) sort per Arrow batch, regrouped by offsets — no
+    per-row Python sort.  ``arr_type`` is the input array type (tokens
+    may be strings or hashed longs — the sign stage emits longs)."""
+
+    @pandas_udf(arr_type)
+    def _ordered(arr: pd.Series) -> pd.Series:
+        n = len(arr)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in arr), dtype=np.int64, count=n)
+        if lens.sum() == 0:
+            return arr
+        flat = pd.DataFrame(
+            {
+                "r": np.repeat(np.arange(n, dtype=np.int64), lens),
+                "tk": np.concatenate(list(arr)),
+            }
+        )
+        flat["df"] = flat["tk"].map(freqs).fillna(0).astype(np.int64)
+        flat = flat.sort_values(["r", "df", "tk"], kind="stable")
+        bounds = np.cumsum(lens)[:-1]
+        return pd.Series(list(np.split(flat["tk"].to_numpy(), bounds)))
+
+    return _ordered
+
+
+def _ordered_sets(distinct_arr, freqs: dict, arr_type: DataType):
+    """The shared ordering Column: the freq UDF when a hot-token map
+    exists, plain JVM ``array_sort`` otherwise (the two orders coincide
+    when the map is empty — key (0, tk) degenerates to value order)."""
+    if freqs:
+        return freq_order_udf(freqs, arr_type)(distinct_arr)
+    return F.array_sort(distinct_arr)
 
 
 @dataclass(frozen=True)
@@ -50,11 +111,18 @@ class ContainmentIndex:
 
     ``threshold`` is part of the index: the ``prefix`` postings are
     sized for it, so probing at a LOWER threshold would be lossy — the
-    probe validates ``probe_t >= index.threshold``."""
+    probe validates ``probe_t >= index.threshold``.  ``k`` is the
+    shingle width the sets were built from: a stream shingled at a
+    different k would silently produce near-zero containments (false
+    negatives), so the probe validates it too (ADVICE r4).  ``freqs``
+    is the bounded hot-token order map — the probe MUST order with the
+    same map (prefix membership on both sides rides one total order)."""
 
     postings: DataFrame  # (tk, index_id, index_sz, side 'prefix'|'full')
-    sets: DataFrame      # (index_id, index_sh) — sorted distinct shingle arrays
+    sets: DataFrame      # (index_id, index_sh) — ordered distinct shingle arrays
     threshold: float
+    k: int = 3
+    freqs: dict = field(default_factory=dict)
 
 
 def containment_index(
@@ -62,17 +130,41 @@ def containment_index(
     threshold: float = 0.9,
     id_col: str = "conv_id",
     shingle_col: str = "shingles",
+    k: int = 3,
+    freq_top: int = 100_000,
 ) -> ContainmentIndex:
     """Build the static side from a (batch) signed table — in production
-    the committed sign stage outputs, exactly like ``index_for_stream``."""
+    the committed sign stage outputs, exactly like ``index_for_stream``.
+
+    ``k`` is recorded (not applied — ``signed`` is already shingled) so
+    the probe can validate its own shingling against the index's.
+    ``freq_top`` bounds the hot-token map (0 = pure value order, the
+    round-4 behavior)."""
     t = float(threshold)
     if not (0.0 < t <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {t}")
-    sets = (
-        signed.select(
-            F.col(id_col).alias("index_id"),
-            F.array_sort(F.array_distinct(F.col(shingle_col))).alias("sh"),
+    distinct = signed.select(
+        F.col(id_col).alias("index_id"),
+        F.array_distinct(F.col(shingle_col)).alias("dsh"),
+    )
+    freqs: dict = {}
+    if freq_top > 0:
+        # document frequency over the distinct sets; only df >= 2 tokens
+        # can inflate a posting list, and only the head of the df
+        # distribution matters — a bounded driver map, never the corpus
+        rows = (
+            distinct.select(F.explode("dsh").alias("tk"))
+            .groupBy("tk")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= 2)
+            .orderBy(F.desc("df"), "tk")
+            .limit(freq_top)
+            .collect()
         )
+        freqs = {r["tk"]: r["df"] for r in rows}
+    atype = distinct.schema["dsh"].dataType
+    sets = (
+        distinct.select("index_id", _ordered_sets(F.col("dsh"), freqs, atype).alias("sh"))
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") > 0)
     )
@@ -101,6 +193,8 @@ def containment_index(
         postings=postings,
         sets=sets.select("index_id", F.col("sh").alias("index_sh")),
         threshold=t,
+        k=k,
+        freqs=freqs,
     )
 
 
@@ -108,7 +202,7 @@ def stream_containment_flags(
     docs: DataFrame,
     index: ContainmentIndex,
     threshold: float | None = None,
-    k: int = 3,
+    k: int | None = None,
 ) -> DataFrame:
     """Streaming documents (conv_id, doc) → rows flagging containment
     pairs with anything indexed: (conv_id, index_id, containment).
@@ -116,7 +210,11 @@ def stream_containment_flags(
     ``threshold`` defaults to the index's; a lower value is rejected —
     the index's prefix postings are sized for ``index.threshold``, so
     probing below it would silently drop pairs in the indexed-smaller
-    direction.  May emit duplicate pair rows (see module docstring)."""
+    direction.  ``k`` defaults to the index's and a MISMATCH is
+    rejected: shingling the stream at a different width than the index
+    was built from yields near-zero containments — false negatives, not
+    an error, unless refused here (ADVICE r4).  May emit duplicate pair
+    rows (see module docstring)."""
     t = index.threshold if threshold is None else float(threshold)
     if not (0.0 < t <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {t}")
@@ -126,15 +224,27 @@ def stream_containment_flags(
             f"{index.threshold}: the committed prefix postings are too "
             "short for lossless candidates — rebuild the index"
         )
+    if k is None:
+        k = index.k
+    elif k != index.k:
+        raise ValueError(
+            f"stream shingle k={k} does not match the index's k={index.k}: "
+            "cross-k containments are near-zero by construction (silent "
+            "false negatives) — shingle the stream with the index's k or "
+            "rebuild the index"
+        )
     # ONE shingle pass (no MinHash lanes — add_shingles, not
     # add_signatures) and ONE posexplode; the prefix membership is a
     # per-token flag, so both subsumption directions come out of a
-    # single stream-static join below
+    # single stream-static join below.  Ordering uses the index's static
+    # hot-token map — per-row, stateless, same total order as the
+    # postings were built under.
+    shingled = add_shingles(docs, "doc", k=k)
+    atype = shingled.schema["shingles"].dataType
     signed = (
-        add_shingles(docs, "doc", k=k)
-        .select(
+        shingled.select(
             F.col("conv_id").alias("stream_id"),
-            F.array_sort(F.array_distinct("shingles")).alias("sh"),
+            _ordered_sets(F.array_distinct("shingles"), index.freqs, atype).alias("sh"),
         )
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") > 0)
