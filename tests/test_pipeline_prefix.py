@@ -59,9 +59,96 @@ def test_without_prefix_channel_stub_is_singleton(spark, turns_with_prefix, tmp_
     assert _cluster_of(out, "retry-stub") != _cluster_of(out, src)
 
 
-def test_incremental_refuses_prefix_channel(spark, tiny_turns, tmp_path):
-    with pytest.raises(NotImplementedError):
+# ---------------------------------------------------------------------------
+# Cross-day prefix channel: probes into the chain's pinned sorted runs
+# ---------------------------------------------------------------------------
+
+_SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts long"
+
+
+def _one_turn_df(spark, docs: dict[str, str]):
+    return spark.createDataFrame(
+        [(cid, 0, "user", text, None, 0) for cid, text in docs.items()], _SCHEMA
+    )
+
+
+_DAY0 = {
+    "long1": "alpha bravo charlie delta echo",
+    "mid": "mmm nnn ooo ppp",
+    "keep1": "zulu yankee xray",
+}
+_DAY1 = {
+    "stub-old": "alpha bravo",               # proper prefix of committed long1
+    "ext-old": "mmm nnn ooo ppp qqq rrr",    # extends committed mid
+    "new-a": "fff ggg",                      # within-batch prefix pair
+    "new-b": "fff ggg hhh iii",
+    "solo": "solo text here",
+}
+_DAY2 = {
+    "ext-d1": "solo text here plus more",    # extends DAY-1 doc (chain read)
+    "mid-d1": "fff ggg hhh",                 # extends day-1 new-a AND prefixes new-b
+}
+
+
+def test_incremental_prefix_cross_day_and_chain(spark, tmp_path):
+    cfg = PipelineConfig(enable_prefix=True)
+    base_dir, d1_dir, d2_dir = (str(tmp_path / d) for d in ("day0", "day1", "day2"))
+    run_pipeline(spark, _one_turn_df(spark, _DAY0), base_dir, cfg)
+
+    inc1 = run_incremental(spark, _one_turn_df(spark, _DAY1), base_dir, d1_dir, cfg)
+    by1 = {r.conv_id: r.cluster_id for r in inc1["clusters"].collect()}
+    assert by1["stub-old"] == by1["long1"]   # new-over-old probe
+    assert by1["ext-old"] == by1["mid"]      # old-under-new probe
+    assert by1["new-a"] == by1["new-b"]      # within-batch run scan
+    assert by1["solo"] != by1["long1"] and by1["keep1"] not in (
+        by1["long1"], by1["mid"], by1["new-a"]
+    )
+    edges1 = {(r.conv_a, r.conv_b) for r in inc1["prefix_edges"].collect()}
+    assert edges1 == {
+        ("long1", "stub-old"), ("ext-old", "mid"), ("new-b", "new-a")
+    }
+    # exact parity with the full recompute here (no early-witness
+    # ambiguity in this fixture)
+    full1 = run_pipeline(
+        spark, _one_turn_df(spark, {**_DAY0, **_DAY1}), str(tmp_path / "f1"), cfg
+    )
+    want1 = sorted((r.conv_id, r.cluster_id) for r in full1["clusters"].collect())
+    assert sorted(by1.items()) == want1
+
+    # day 2 chained on day 1: probes read BOTH runs along the chain
+    inc2 = run_incremental(spark, _one_turn_df(spark, _DAY2), d1_dir, d2_dir, cfg)
+    by2 = {r.conv_id: r.cluster_id for r in inc2["clusters"].collect()}
+    assert by2["ext-d1"] == by2["solo"]
+    assert by2["mid-d1"] == by2["new-a"] == by2["new-b"]
+    edges2 = {(r.conv_a, r.conv_b) for r in inc2["prefix_edges"].collect()}
+    assert edges2 == {("ext-d1", "solo"), ("mid-d1", "new-a"), ("new-b", "mid-d1")}
+
+
+def test_incremental_prefix_requires_chain_channel(spark, tmp_path):
+    # base day ran WITHOUT the channel → old prefix pairs were never
+    # flagged; the increment must refuse, not silently hole
+    base_dir = str(tmp_path / "base")
+    run_pipeline(spark, _one_turn_df(spark, _DAY0), base_dir, PipelineConfig())
+    with pytest.raises(ValueError, match="no committed prefix stage"):
         run_incremental(
-            spark, tiny_turns, str(tmp_path / "base"), str(tmp_path / "inc"),
+            spark, _one_turn_df(spark, _DAY1), base_dir, str(tmp_path / "inc"),
+            PipelineConfig(enable_prefix=True),
+        )
+
+
+def test_incremental_prefix_requires_retained_corpus(spark, tmp_path):
+    # base ran the channel but gc reclaimed the pinned sorted run → the
+    # probes have nothing to read; refuse like the sign-stage check
+    from wdedup_spark.sources.ledger import StageLedger
+
+    base_dir = str(tmp_path / "base")
+    run_pipeline(
+        spark, _one_turn_df(spark, _DAY0), base_dir,
+        PipelineConfig(enable_prefix=True),
+    )
+    StageLedger(base_dir, config_fence="", spark=spark).gc("prefix_corpus")
+    with pytest.raises(ValueError, match="retained 'prefix_corpus'"):
+        run_incremental(
+            spark, _one_turn_df(spark, _DAY1), base_dir, str(tmp_path / "inc"),
             PipelineConfig(enable_prefix=True),
         )

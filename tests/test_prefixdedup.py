@@ -97,3 +97,95 @@ def test_remove_prefix_subsumed_keeps_other_columns(spark):
     df = spark.createDataFrame(docs, ["conv_id", "doc", "source"])
     kept = remove_prefix_subsumed(df).orderBy("conv_id").collect()
     assert [(r.conv_id, r.source) for r in kept] == [(2, "s2"), (3, "s3")]
+
+
+# ---------------------------------------------------------------------------
+# Committed-artifact flow: sorted runs + cross-run probes (incremental path)
+# ---------------------------------------------------------------------------
+
+from wdedup_spark.operators.prefixdedup import (  # noqa: E402
+    corpus_bounds,
+    cross_prefix_edges,
+    edges_from_sorted,
+    sorted_corpus,
+)
+
+
+def _pinned_run(spark, docs, n_partitions):
+    """(corpus, bounds) for one committed run — localCheckpoint stands in
+    for the ledger's parquet pin in tests."""
+    df = spark.createDataFrame(docs, "conv_id string, doc string")
+    corpus = sorted_corpus(df, "doc", "conv_id", n_partitions).localCheckpoint(
+        eager=True
+    )
+    return corpus, corpus_bounds(corpus).localCheckpoint(eager=True)
+
+
+def test_edges_from_sorted_matches_operator(spark):
+    docs = [(str(i), t) for i, t in enumerate(
+        ["ab", "abc", "abd", "b", "ba", "bab", "q", "qq", "qqq", "z"]
+    )]
+    corpus, bounds = _pinned_run(spark, docs, 4)
+    got = {(r.conv_a, r.conv_b) for r in edges_from_sorted(corpus, bounds).collect()}
+    want = {
+        (r.conv_a, r.conv_b)
+        for r in prefix_edges(
+            spark.createDataFrame(docs, ["conv_id", "doc"]), "doc", "conv_id"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cross_run_edges_randomized_vs_full_operator(spark):
+    """Two-day split of a random prefix-rich corpus: the union of per-day
+    within-run edges plus cross-run probe edges must (a) flag EXACTLY the
+    full operator's subsumed set, (b) contain every canonical
+    smallest-extension edge, (c) contain only true proper-prefix pairs —
+    the documented coarser-clusters contract."""
+    rng = random.Random(75)
+    texts: set[str] = set()
+    while len(texts) < 80:
+        texts.add("".join(rng.choice("abc") for _ in range(rng.randint(1, 8))))
+    docs = {f"d{i:03d}": t for i, t in enumerate(sorted(texts))}
+    ids = list(docs)
+    rng.shuffle(ids)
+    for old_n, parts in ((40, 3), (10, 5)):
+        old = [(i, docs[i]) for i in sorted(ids[:old_n])]
+        new = [(i, docs[i]) for i in sorted(ids[old_n:])]
+        old_run = _pinned_run(spark, old, parts)
+        new_run = _pinned_run(spark, new, parts)
+        new_df = spark.createDataFrame(new, ["conv_id", "doc"])
+        edges = (
+            edges_from_sorted(*old_run)
+            .unionByName(edges_from_sorted(*new_run))
+            .unionByName(cross_prefix_edges(new_df, [old_run], "doc", "conv_id"))
+        )
+        got = {(r.conv_a, r.conv_b) for r in edges.collect()}
+        union_df = spark.createDataFrame(old + new, ["conv_id", "doc"])
+        full_sub = {
+            r.id for r in prefix_subsumed(union_df).collect() if r.subsumed
+        }
+        canonical = {
+            (r.conv_a, r.conv_b) for r in prefix_edges(union_df).collect()
+        }
+        assert {b for _, b in got} == full_sub, "subsumed-set parity"
+        assert canonical <= got, "canonical witness edges present"
+        for a, b in got:  # soundness: every emitted edge is a true pair
+            assert docs[a] != docs[b] and docs[a].startswith(docs[b])
+
+
+def test_cross_run_edges_empty_and_disjoint_runs(spark):
+    new_df = spark.createDataFrame([("n1", "xyz")], ["conv_id", "doc"])
+    # empty committed run: no probes, no edges
+    empty = _pinned_run(spark, [], 2)
+    assert cross_prefix_edges(new_df, [empty], "doc", "conv_id").count() == 0
+    # disjoint texts: probes run, no startswith hits
+    run = _pinned_run(spark, [("o1", "aaa"), ("o2", "bbb")], 2)
+    assert cross_prefix_edges(new_df, [run], "doc", "conv_id").count() == 0
+    # multiple runs, hits in both directions across different runs
+    run2 = _pinned_run(spark, [("o3", "xy"), ("o4", "xyzq")], 2)
+    got = {
+        (r.conv_a, r.conv_b)
+        for r in cross_prefix_edges(new_df, [run, run2], "doc", "conv_id").collect()
+    }
+    assert got == {("n1", "o3"), ("o4", "n1")}

@@ -345,10 +345,28 @@ def run_pipeline(
     # (conv_a=witness, conv_b=prefix) edges for the cluster union
     prefix_edge_df = None
     if cfg.enable_prefix:
-        from wdedup_spark.operators.prefixdedup import prefix_edges
+        from wdedup_spark.operators.prefixdedup import (
+            corpus_bounds,
+            edges_from_sorted,
+            sorted_corpus,
+        )
 
+        # three commits, not one: the SORTED corpus (one range exchange)
+        # and its per-slice bounds are durable artifacts — parquet is the
+        # pin the in-memory operator gets from localCheckpoint — so later
+        # run_incremental days probe the pinned slices instead of
+        # re-sorting the corpus (see prefixdedup.py committed-artifact
+        # notes).  Cost: one extra text copy on storage, the same
+        # materialize-once economy the operator already paid transiently;
+        # gc=True reclaims it when no increment chain will follow.
+        prefix_corpus = ledger.run(
+            spark, "prefix_corpus", lambda: sorted_corpus(reps, "doc", "conv_id")
+        )
+        prefix_bounds = ledger.run(
+            spark, "prefix_bounds", lambda: corpus_bounds(prefix_corpus)
+        )
         prefix_edge_df = ledger.run(
-            spark, "prefix", lambda: prefix_edges(reps, "doc", "conv_id")
+            spark, "prefix", lambda: edges_from_sorted(prefix_corpus, prefix_bounds)
         )
         out["prefix_edges"] = prefix_edge_df
         if done("prefix"):
@@ -452,6 +470,11 @@ def run_pipeline(
         # sign feeds candidates+verify; candidates feeds verify
         ledger.gc("sign")
         ledger.gc("candidates")
+        if cfg.enable_prefix:
+            # the sorted-corpus text copy feeds only the prefix scan in
+            # THIS run — but an increment chain probes it, so (like sign)
+            # chains require gc=False; bounds are O(slices), kept
+            ledger.gc("prefix_corpus")
 
     return out
 
@@ -525,22 +548,21 @@ def run_incremental(
     same boundedness-for-recall trade the batch star policy makes.
 
     Requires the chain's ``sign`` stages retained (run the base with
-    ``gc=False`` / CLI ``--no-gc``).  ``gc=True`` here reclaims only this
-    increment's ``candidates`` (its sign delta must survive for the next
-    increment in the chain).
+    ``gc=False`` / CLI ``--no-gc``); with ``enable_prefix`` also every
+    chain day's ``prefix_corpus``/``prefix_bounds`` (the pinned sorted
+    runs today's probes read).  ``gc=True`` here reclaims only this
+    increment's ``candidates`` (its sign, exact and prefix-run deltas
+    must survive for the next increment in the chain).
+
+    Prefix-channel equivalence caveat (tested): the SUBSUMED set and the
+    canonical smallest-extension witness edges match a full recompute
+    exactly; early-witness edges (a doc that was the smallest extension
+    of a prefix on ITS day, displaced by a later smaller extension) may
+    additionally merge clusters a full recompute keeps separate —
+    increments cannot retract an edge that was true when emitted.
     """
-    if cfg.enable_prefix:
-        # cross-batch prefix detection needs the committed corpus in
-        # global lexicographic order — a corpus-wide re-sort per day,
-        # which breaks this function's O(new batch) contract.  Refuse
-        # loudly rather than silently missing cross-day prefixes; run
-        # the periodic full pipeline for the prefix channel.
-        raise NotImplementedError(
-            "enable_prefix is batch-pipeline-only (corpus-order operator); "
-            "run_incremental would silently miss cross-day prefixes"
-        )
-    if stop_after == "prefix":
-        raise ValueError("run_incremental has no prefix stage")
+    if stop_after == "prefix" and not cfg.enable_prefix:
+        raise ValueError("stop_after='prefix' requires enable_prefix=True")
     if stop_after == "containment" and not cfg.enable_containment:
         raise ValueError("stop_after='containment' requires enable_containment=True")
     ledger = StageLedger(workdir, config_fence=cfg.fence(), spark=spark)
@@ -567,6 +589,24 @@ def run_incremental(
                     f"incremental run needs the retained '{stage}' stage in "
                     f"{bl.workdir} — run the base with gc=False / --no-gc"
                 )
+        if cfg.enable_prefix:
+            # the chain invariant (two probes per new doc suffice — see
+            # prefixdedup.py) holds only if the channel flagged every
+            # within-day and cross-day pair on EVERY prior day, and
+            # today's probes need every day's pinned sorted run
+            if not bl.is_committed("prefix"):
+                raise ValueError(
+                    f"enable_prefix requires the channel on EVERY chain day, "
+                    f"but {bl.workdir} has no committed prefix stage — old "
+                    "prefix pairs from that day were never flagged"
+                )
+            for stage in ("prefix_corpus", "prefix_bounds"):
+                if not bl.is_committed(stage) or bl.is_gcd(stage):
+                    raise ValueError(
+                        f"incremental prefix channel needs the retained "
+                        f"'{stage}' stage in {bl.workdir} — run the base "
+                        "with gc=False / --no-gc"
+                    )
         if cfg.enable_containment:
             if not bl.is_committed("containment"):
                 # the new_col mode only expands pairs touching today's batch,
@@ -655,6 +695,46 @@ def run_incremental(
     )
     reps_new = exact.select(F.col("rep_id").alias("conv_id"), "doc")
 
+    # -- prefix channel (optional): probe the chain's pinned sorted runs ------
+    # No corpus re-sort: today's batch is range-sorted ALONE (its own
+    # committed run, a chain day for tomorrow), within-batch edges come
+    # from scanning that run, and cross-day edges come from predecessor/
+    # successor probes into every chain day's committed slices — touched
+    # slices only.  Soundness/completeness of two probes per new doc, and
+    # the coarser-clusters caveat (early-witness edges a full recompute
+    # re-points; subsumed SET and canonical edges identical), are argued
+    # in prefixdedup.py's committed-artifact notes and pinned by
+    # tests/test_pipeline_prefix.py.
+    prefix_edge_df = None
+    if cfg.enable_prefix:
+        from wdedup_spark.operators.prefixdedup import (
+            corpus_bounds,
+            cross_prefix_edges,
+            edges_from_sorted,
+            sorted_corpus,
+        )
+
+        p_corpus = ledger.run(
+            spark, "prefix_corpus", lambda: sorted_corpus(reps_new, "doc", "conv_id")
+        )
+        p_bounds = ledger.run(
+            spark, "prefix_bounds", lambda: corpus_bounds(p_corpus)
+        )
+
+        def _prefix_edges() -> DataFrame:
+            within = edges_from_sorted(p_corpus, p_bounds)
+            chain_runs = [
+                (bl.output(spark, "prefix_corpus"), bl.output(spark, "prefix_bounds"))
+                for bl in base_ledgers
+            ]
+            cross = cross_prefix_edges(reps_new, chain_runs, "doc", "conv_id")
+            return within.unionByName(cross)
+
+        prefix_edge_df = ledger.run(spark, "prefix", _prefix_edges)
+        out["prefix_edges"] = prefix_edge_df
+        if done("prefix"):
+            return out
+
     # -- sign the new reps only ----------------------------------------------
     def _sign() -> DataFrame:
         par = max(1, spark.sparkContext.defaultParallelism * 2)
@@ -726,6 +806,8 @@ def run_incremental(
         edges = verified.select("conv_a", "conv_b").unionByName(
             exact_edges.select("conv_a", "conv_b")
         )
+        if prefix_edge_df is not None:
+            edges = edges.unionByName(prefix_edge_df.select("conv_a", "conv_b"))
         if containment_edge_df is not None:
             edges = edges.unionByName(
                 containment_edge_df.select("conv_a", "conv_b")
