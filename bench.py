@@ -62,7 +62,11 @@ HEADLINE = [
     "span_dup_stats",
     "span_dedup_docs",
     "prefix_subsumed",
+    "incremental_prefix",
     "containment_pairs",
+    "decontaminated",
+    "repetition_filter",
+    "cluster_keepers",
     "semantic_dedup",
     "media_dedup",
     "embedding_dup_pairs",
