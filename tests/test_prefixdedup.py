@@ -3,6 +3,7 @@ including forced cross-partition boundaries and equal-text runs."""
 
 from __future__ import annotations
 
+import pytest
 import random
 
 from wdedup_spark.operators.prefixdedup import (
@@ -189,3 +190,41 @@ def test_cross_run_edges_empty_and_disjoint_runs(spark):
         for r in cross_prefix_edges(new_df, [run, run2], "doc", "conv_id").collect()
     }
     assert got == {("n1", "o3"), ("o4", "n1")}
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-slice guard (VERDICT r4 #7): reject loudly, never OOM
+# ---------------------------------------------------------------------------
+
+def test_slice_guard_rows_cap_trips_loudly(spark, monkeypatch):
+    import wdedup_spark.operators.prefixdedup as px
+
+    monkeypatch.setattr(px, "MAX_SLICE_ROWS", 3)
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["conv_id", "doc"]
+    )
+    with pytest.raises(Exception, match="range slice holds .* rows"):
+        px.prefix_subsumed(df, "doc", "conv_id", n_partitions=2).count()
+
+
+def test_slice_guard_bytes_cap_trips_loudly(spark, monkeypatch):
+    import wdedup_spark.operators.prefixdedup as px
+
+    monkeypatch.setattr(px, "MAX_SLICE_BYTES", 100)
+    df = spark.createDataFrame(
+        [(i, "x" * 200 + str(i)) for i in range(6)], ["conv_id", "doc"]
+    )
+    with pytest.raises(Exception, match="text bytes"):
+        px.prefix_subsumed(df, "doc", "conv_id", n_partitions=1).count()
+
+
+def test_slice_guard_quiet_within_caps(spark):
+    # caps at defaults: a normal corpus is untouched
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abc"), (3, "zz")], ["conv_id", "doc"]
+    )
+    got = {
+        r.id: (r.subsumed, r.witness)
+        for r in prefix_subsumed(df, "doc", "conv_id").collect()
+    }
+    assert got == {1: (True, 2), 2: (False, None), 3: (False, None)}

@@ -47,6 +47,41 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Loud per-slice caps (VERDICT r4 #7): the per-slice scans materialize one
+# pandas frame per range slice.  Normally the range partitioner bounds
+# that at ~rows/partitions, but a pathological corpus — sampling collapse
+# on near-identical keys, or a handful of giant documents — can hand one
+# frame an unbounded share.  Exceeding a cap is a partitioning failure the
+# operator must surface (resize n_partitions / pre-split the corpus), not
+# an OOM to debug from an executor heap dump.
+MAX_SLICE_ROWS = 4_000_000
+MAX_SLICE_BYTES = 2 << 30  # char count as a byte proxy (exact for ASCII)
+
+
+def _caps() -> tuple[int, int]:
+    """Resolve caps DRIVER-SIDE at call time so they serialize by value
+    into the executor closures (a worker re-imports this module and would
+    otherwise see only the defaults)."""
+    return MAX_SLICE_ROWS, MAX_SLICE_BYTES
+
+
+def _slice_guard(pdf: "pd.DataFrame", where: str, caps: tuple[int, int]) -> None:
+    rows_cap, bytes_cap = caps
+    if len(pdf) > rows_cap:
+        raise ValueError(
+            f"{where}: range slice holds {len(pdf)} rows "
+            f"(cap {rows_cap}); the range partitioning degenerated — "
+            "raise n_partitions or pre-split the corpus"
+        )
+    nbytes = int(pdf["text"].str.len().sum())
+    if nbytes > bytes_cap:
+        raise ValueError(
+            f"{where}: range slice holds ~{nbytes} text bytes "
+            f"(cap {bytes_cap}); the range partitioning degenerated — "
+            "raise n_partitions or pre-split the corpus"
+        )
+
+
 def _succ_run(texts: list, ids: list) -> list:
     """For each position in a (text, id)-ascending slice, the (text, id)
     of the FIRST row of the next DISTINCT-text run (None past the end) —
@@ -76,6 +111,7 @@ def prefix_subsumed(
     stage.  ``witness`` is null when not subsumed.
     """
     spark = df.sparkSession
+    caps = _caps()
     rows = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     # null text has no prefix relation to anything: answer it directly
     # (subsumed=false, no witness) instead of letting None reach the
@@ -179,6 +215,7 @@ def prefix_subsumed(
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
+        _slice_guard(pdf, "prefix_subsumed", caps)
         texts = pdf["text"].tolist()
         succ = _succ_run(texts, pdf["id"].tolist())
         tail = bc.value.get(int(pdf["pid"].iloc[0]))
@@ -284,6 +321,7 @@ def edges_from_sorted(corpus: DataFrame, bounds: DataFrame) -> DataFrame:
     successor is the next slice's first row (broadcast bounds).  Texts
     are distinct (exact-first), so successor == next row."""
     spark = corpus.sparkSession
+    caps = _caps()
     id_field = corpus.schema["id"].dataType
     blist = _bounds_list(bounds)
     nxt = {
@@ -298,6 +336,7 @@ def edges_from_sorted(corpus: DataFrame, bounds: DataFrame) -> DataFrame:
     )
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        _slice_guard(pdf, "edges_from_sorted", caps)
         pdf = pdf.sort_values(["text", "id"], kind="mergesort")
         texts, ids = pdf["text"].tolist(), pdf["id"].tolist()
         tail = bc.value.get(int(pdf["slice"].iloc[0]))
@@ -332,6 +371,7 @@ def cross_prefix_edges(
     Per-day cost: O(batch · chain) probes + touched-slice reads — never
     a corpus re-sort."""
     spark = new_df.sparkSession
+    caps = _caps()
     id_field = new_df.schema[id_col].dataType
     news = new_df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
@@ -404,6 +444,7 @@ def cross_prefix_edges(
 
         def _make_scan(bc):
             def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+                _slice_guard(pdf, "cross_prefix_edges", caps)
                 _, _, nx = bc.value
                 pdf = pdf.sort_values(["text", "id"], kind="mergesort")
                 tail = nx.get(int(pdf["slice"].iloc[0]))
