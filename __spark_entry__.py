@@ -653,6 +653,23 @@ def q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware sampling weights over the near-dup clusters
+    ("SoftDedup"-style reweight-instead-of-remove): every doc keeps
+    weight 1/cluster_size, so a cluster contributes ~one doc's worth of
+    sampling mass.  One groupBy count + cluster_id join
+    (operators/quality.py soft_dedup_weights)."""
+    from wdedup_spark.operators.quality import soft_dedup_weights
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return soft_dedup_weights(clusters).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_members",
+        "weight",
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup: exact cosine pairs at the 0.45
     data threshold (the continuous regime — no LSH margin exists, see
@@ -946,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated": q_decontaminated,
         "repetition_filter": q_repetition_filter,
         "cluster_keepers": q_cluster_keepers,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "semantic_dedup": q_semantic_dedup,
         "media_dedup": q_media_dedup,
         "ann_topk": q_ann_topk,
@@ -1057,6 +1075,33 @@ def oracle_sql() -> dict[str, str]:
     # full recompute (operators/cluster.py equivalence argument + test),
     # so its oracle IS the full-corpus closure
     sql["incremental_clusters"] = sql["dedup_clusters"]
+
+    # soft dedup: the same closure, sized per cluster, weight = 1/size
+    sql["soft_dedup_weights"] = pair_jaccard.replace(
+        "WITH toks", "WITH RECURSIVE toks"
+    ) + f"""
+        , edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= {JACCARD_T}
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs WHERE jaccard >= {JACCARD_T}
+        ), closure AS (
+          SELECT doc_id AS node, doc_id AS comp FROM documents
+          UNION
+          SELECT e.dst AS node, c.comp
+          FROM closure c JOIN edges e ON e.src = c.node
+          WHERE c.comp < e.dst
+        ), assign AS (
+          SELECT node AS doc_id, min(comp) AS cluster_id FROM closure GROUP BY node
+        ), sizes AS (
+          SELECT cluster_id, count(*)::BIGINT AS n_members
+          FROM assign GROUP BY cluster_id
+        )
+        SELECT a.doc_id::BIGINT AS doc_id,
+               a.cluster_id::BIGINT AS cluster_id,
+               s.n_members,
+               round(1.0 / s.n_members, 6) AS weight
+        FROM assign a JOIN sizes s USING (cluster_id)
+    """
 
     sql["token_stats"] = """
         WITH t AS (

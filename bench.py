@@ -67,6 +67,7 @@ HEADLINE = [
     "decontaminated",
     "repetition_filter",
     "cluster_keepers",
+    "soft_dedup_weights",
     "semantic_dedup",
     "media_dedup",
     "embedding_dup_pairs",

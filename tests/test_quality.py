@@ -5,7 +5,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from wdedup_spark.operators.quality import cluster_keepers, repetition_stats
+from wdedup_spark.operators.quality import (
+    cluster_keepers,
+    repetition_stats,
+    soft_dedup_weights,
+)
 
 
 def _df(spark, rows, cols):
@@ -83,6 +87,52 @@ def test_cluster_keepers_single_aggregate_no_window(spark):
     quality = _df(spark, [(1, 0.1), (2, 0.2)], ("doc_id", "quality"))
     plan = (
         cluster_keepers(clusters, quality)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
+def test_soft_dedup_weights_per_cluster(spark):
+    clusters = _df(
+        spark,
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        ("doc_id", "cluster_id"),
+    )
+    out = {r["id"]: r for r in soft_dedup_weights(clusters).collect()}
+    assert len(out) == 6
+    # 3-member cluster: each weight 1/3
+    for d in (1, 2, 3):
+        assert out[d]["n_members"] == 3
+        assert out[d]["weight"] == round(1 / 3, 6)
+    # pair cluster
+    assert out[7]["weight"] == 0.5 and out[8]["weight"] == 0.5
+    # singleton: weight exactly 1.0 -> applying to a deduped corpus is a no-op
+    assert out[9]["n_members"] == 1 and out[9]["weight"] == 1.0
+
+
+def test_soft_dedup_weights_mass_sums_to_one_per_cluster(spark):
+    clusters = _df(
+        spark, [(i, i % 4) for i in range(20)], ("doc_id", "cluster_id")
+    )
+    mass = (
+        soft_dedup_weights(clusters)
+        .groupBy("cluster_id")
+        .agg(F.round(F.sum("weight"), 4).alias("m"))
+        .collect()
+    )
+    assert all(r["m"] == 1.0 for r in mass)
+    assert len(mass) == 4
+
+
+def test_soft_dedup_weights_no_window(spark):
+    """Plan contract: sizes come from a hash aggregate + join, not a
+    per-cluster Window sort (a giant boilerplate cluster must not buffer
+    in one partition's window frame)."""
+    clusters = _df(spark, [(1, 1), (2, 1)], ("doc_id", "cluster_id"))
+    plan = (
+        soft_dedup_weights(clusters)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

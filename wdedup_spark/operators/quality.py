@@ -106,3 +106,35 @@ def cluster_keepers(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.round(F.max("q"), 6).alias("best_quality"),
     )
+
+
+def soft_dedup_weights(
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """→ ``(id, cluster_id, n_members, weight)`` for EVERY document:
+    ``weight = 1/n_members`` of its duplicate cluster — the soft-dedup
+    alternative to dropping ("SoftDedup"-style data reweighting: keep
+    all copies, down-weight their sampling so the cluster contributes
+    ~one document's worth of gradient).  Reduces to weight 1.0 for singleton
+    clusters, so applying it to a deduplicated corpus is a no-op.
+
+    Shape: one ``groupBy(cluster_id)`` count (map-side partial) + an
+    equi-join back on cluster_id — co-partitioned with the aggregation's
+    own exchange, and AQE broadcasts the size table when small.  A
+    window count would be one exchange cheaper but buffers whole
+    clusters per partition; a 10^8-member boilerplate cluster makes
+    that trade wrong at scale."""
+    c = clusters.select(
+        F.col(id_col).alias("id"), F.col(cluster_col).alias("cluster_id")
+    )
+    sizes = c.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return c.join(sizes, "cluster_id").select(
+        "id",
+        "cluster_id",
+        "n_members",
+        F.round(F.lit(1.0) / F.col("n_members"), 6).alias("weight"),
+    )
