@@ -53,13 +53,18 @@ def containment_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     pre-distinct array columns (1.0 when both empty, 0.0 when exactly
     one is empty).
 
-    Batched (VERDICT r4 #6): per-row set intersects are replaced by ONE
-    (row, token) hash join over the flattened Arrow batch — a pandas
-    merge (C-speed, string-keyed) + groupby size, so Python never loops
-    over rows.  Per-row distinctness makes each match count exactly
-    once.  Micro-bench (5k pairs × ~150 string shingles): 544 ms looped
-    → 347 ms flattened (string hashing dominates both; the win is the
-    removed per-row numpy overhead)."""
+    Batched (VERDICT r4 #6, re-done after an end-to-end regression):
+    string identity is resolved ONCE per Arrow batch — ``pd.factorize``
+    over the flattened values of both sides (each distinct token hashed
+    once, exact integer codes) — and the per-row work drops to sorted
+    int64 intersects over batch offsets.  The first batched attempt
+    (flattened (row, token) pandas merge + groupby) won its small
+    micro-bench but REGRESSED the real query ~50% (containment_pairs
+    6-7 s → 8.8-16 s at sf0.1: the merge re-hashes every token of every
+    row into a join hash table, and the groupby adds a pass).  Measured
+    at the query's real shapes (20k pairs × 30-250 string shingles):
+    looped intersect1d 2.23 s, merge 3.38 s, THIS kernel 1.66 s —
+    kernels must be judged end-to-end, not on toy shapes."""
     n = len(a)
     if n == 0:
         return pd.Series(np.empty(0, dtype=np.float64))
@@ -68,17 +73,17 @@ def containment_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     out = np.where((la == 0) & (lb == 0), 1.0, 0.0)
     mask = (la > 0) & (lb > 0)
     if mask.any():
-        fa = pd.DataFrame(
-            {"r": np.repeat(np.arange(n, dtype=np.int64), la),
-             "v": np.concatenate(list(a))}
-        )
-        fb = pd.DataFrame(
-            {"r": np.repeat(np.arange(n, dtype=np.int64), lb),
-             "v": np.concatenate(list(b))}
-        )
-        inter = fa.merge(fb, on=["r", "v"]).groupby("r").size()
-        cnt = np.zeros(n)
-        cnt[inter.index.to_numpy()] = inter.to_numpy(dtype=np.float64)
+        flat = np.concatenate(list(a) + list(b))
+        codes, _ = pd.factorize(flat)
+        split = int(la.sum())
+        ca, cb = codes[:split], codes[split:]
+        oa = np.concatenate(([0], np.cumsum(la)))
+        ob = np.concatenate(([0], np.cumsum(lb)))
+        cnt = np.zeros(n, dtype=np.float64)
+        for i in np.flatnonzero(mask):
+            sa = np.sort(ca[oa[i]:oa[i + 1]])
+            sb = np.sort(cb[ob[i]:ob[i + 1]])
+            cnt[i] = np.intersect1d(sa, sb, assume_unique=True).size
         denom = np.minimum(la, lb).astype(np.float64)
         denom[denom == 0] = 1.0
         out = np.where(mask, cnt / denom, out)
