@@ -171,12 +171,18 @@ def main() -> None:
                 all_runs.append(r)
                 if len(clean) >= CLEAN_K:
                     break
+            # If the gate NEVER passed, still emit a number (better than
+            # nothing after an hour of runs) but it must not masquerade
+            # as a clean median: gate_satisfied=False propagates to the
+            # summary and the clean_walls list stays empty.
             pool = clean or [x for x in all_runs if x.get("spec") == spec]
             walls = sorted(x["wall_s"] for x in pool)
             med = walls[len(walls) // 2] if len(walls) % 2 else round(
                 (walls[len(walls) // 2 - 1] + walls[len(walls) // 2]) / 2, 3
             )
             results[spec] = {
+                "gate_satisfied": bool(clean),
+                "clean_runs": clean,
                 "runs": pool,
                 "n_clean": len(clean),
                 "median_wall_s": med,
@@ -211,12 +217,21 @@ def main() -> None:
         f"turns_per_sec_{n_high}": round(n_turns / t_hi, 1),
         f"n_clean_{n_low}": results[n_low]["n_clean"],
         f"n_clean_{n_high}": results[n_high]["n_clean"],
-        f"clean_walls_{n_low}": [r["wall_s"] for r in results[n_low]["runs"]],
-        f"clean_walls_{n_high}": [r["wall_s"] for r in results[n_high]["runs"]],
+        f"clean_walls_{n_low}": [r["wall_s"] for r in results[n_low]["clean_runs"]],
+        f"clean_walls_{n_high}": [r["wall_s"] for r in results[n_high]["clean_runs"]],
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_best_window": round(eff_best, 3),
     }
+    if not (results[n_low]["gate_satisfied"] and results[n_high]["gate_satisfied"]):
+        # every window at >=1 level exceeded the steal gate: the medians
+        # above are computed from contaminated runs and must say so
+        summary["steal_gate_satisfied"] = False
+        summary["warning"] = (
+            "no window passed the steal gate at: "
+            + ", ".join(s for s in (n_low, n_high) if not results[s]["gate_satisfied"])
+            + " — medians use DIRTY runs; do not quote as clean-window numbers"
+        )
     print(json.dumps(summary))
     with open(os.path.join(repo, f"bench_scaling_{n_low}_{n_high}.json"), "w") as f:
         f.write(json.dumps(summary) + "\n")

@@ -184,3 +184,24 @@ def test_probe_below_index_threshold_rejected(spark, index):
         stream_containment_flags(stream, index, threshold=0.5)
     with pytest.raises(ValueError, match="threshold"):
         stream_containment_flags(stream, index, threshold=1.5)
+
+
+def test_freq_order_udf_null_and_empty_arrays(spark):
+    """Review r5: a null shingle array reaching freq_order_udf crashed
+    np.fromiter (len(None)); nulls must pass through as nulls (the JVM
+    array_sort path's semantics — size(null) = -1 filters downstream)
+    and empty arrays as empty, with non-null rows still freq-ordered."""
+    from wdedup_spark.streaming.containment_stream import freq_order_udf
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    df = spark.createDataFrame(
+        [("a", ["HOT", "rare", "zz"]), ("b", None), ("c", []), ("d", ["HOT"])],
+        "id string, toks array<string>",
+    ).repartition(1)  # one Arrow batch: nulls and values share a batch
+    udf = freq_order_udf({"HOT": 9}, ArrayType(StringType()))
+    out = {r.id: r.o for r in df.select("id", udf(F.col("toks")).alias("o")).collect()}
+    assert out["a"] == ["rare", "zz", "HOT"]  # rare first by value, hot last
+    assert out["b"] is None
+    assert out["c"] == []
+    assert out["d"] == ["HOT"]

@@ -88,22 +88,41 @@ def main() -> None:
     gate = int(os.environ.get("ATTR_CLEAN_STEAL_JIFFIES", "1500"))
     out = {}
     for arm, flag in (("control", "0"), ("micro_first", "1")):
+        res = None
         for attempt in range(int(os.environ.get("ATTR_MAX_ATTEMPTS", "6"))):
             time.sleep(5)
             s0 = _steal()
-            r = subprocess.run(
-                [sys.executable, "-c", src, flag],
-                capture_output=True, text=True, timeout=1800,
-            )
-            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
-            res = json.loads(line)
+            # A worker can die mid-run (OOM / Spark error during a steal
+            # burst — exactly when this loop is retrying) or hang past the
+            # timeout; either counts as a failed ATTEMPT, not a crash of
+            # the whole attribution: print the evidence, keep looping.
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", src, flag],
+                    capture_output=True, text=True, timeout=1800,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"{arm} attempt {attempt}: worker timed out", flush=True)
+                continue
+            lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+            if r.returncode != 0 or not lines:
+                print(
+                    f"{arm} attempt {attempt}: worker failed rc={r.returncode}; "
+                    f"stderr tail: {r.stderr.strip()[-500:]}",
+                    flush=True,
+                )
+                continue
+            res = json.loads(lines[-1])
             res["steal_jiffies"] = _steal() - s0
             print(res, flush=True)
             if res["steal_jiffies"] <= gate:
                 out[arm] = res
                 break
         else:
-            res["gate"] = "never_clean"
+            if res is None:
+                res = {"micro_first": flag == "1", "gate": "no_successful_run"}
+            else:
+                res["gate"] = "never_clean"
             out[arm] = res
     with open(os.path.join(REPO, "bench_cold_attribution.json"), "w") as f:
         f.write(json.dumps(out) + "\n")

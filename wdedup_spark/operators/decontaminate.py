@@ -34,13 +34,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wdedup_spark.functions.text import tokens
+
 
 def ngram_array(text: Column | str, n: int) -> Column:
     """Distinct n-token grams of a whitespace-tokenized text, as joined
     strings; empty array when the doc has fewer than ``n`` tokens (a doc
     shorter than the gram width cannot be contaminated by this rule)."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.filter(F.split(c, r"\s+"), lambda x: x != "")
+    toks = tokens(text)
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -182,9 +183,16 @@ def contaminated_bloom(
     per expected distinct gram for ~1% FPR."""
     from pyspark.sql.functions import pandas_udf
 
-    bench_grams = bench.select(
-        F.explode(ngram_array(text_col, n)).alias("gram")
-    ).distinct()
+    # materialized once (localCheckpoint, not persist: no dangling cache
+    # entry to leak — the r4 IVF lesson): the bitmap build consumes these
+    # grams, then the exact verify join reads them AGAIN — without this
+    # the benchmark explode+distinct (the dominant benchmark-side cost at
+    # the scale this path exists for) runs twice
+    bench_grams = (
+        bench.select(F.explode(ngram_array(text_col, n)).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     bm_bytes = bloom_bitmap(bench_grams, n_bits, n_hashes)
 
     # one array<long> argument (pandas_udf rejects varargs signatures);

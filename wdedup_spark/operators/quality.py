@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wdedup_spark.functions.text import tokens
+
 
 def repetition_stats(
     df: DataFrame,
@@ -49,7 +51,7 @@ def repetition_stats(
     one sentence 50 times must score ~1.0, not 1/n_distinct."""
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("toks"),
+        tokens(text_col).alias("toks"),
     ).filter(F.size("toks") >= n)
     # all-occurrence grams: transform WITHOUT array_distinct
     toks_grams = toked.select(

@@ -546,6 +546,14 @@ def run_incremental(
     union EXCEPT where a bucket crosses ``max_bucket`` only after the
     increment — new members then star-connect instead of all-pairing, the
     same boundedness-for-recall trade the batch star policy makes.
+    Containment-threshold caveat: chain days committed at a HIGHER
+    containment threshold are REFUSED (silent old×old holes — no parity
+    possible); days committed at a LOWER threshold are accepted but make
+    the increment's clusters a documented COARSENING of a full recompute
+    at today's threshold (the base already merged pairs in
+    ``[committed_t, cfg_t)`` that a fresh run would not) — same direction
+    as the prefix channel's coarser-clusters caveat.  Run the chain at
+    one threshold to claim exact parity.
 
     Requires the chain's ``sign`` stages retained (run the base with
     ``gc=False`` / CLI ``--no-gc``); with ``enable_prefix`` also every
@@ -641,6 +649,10 @@ def run_incremental(
                     "emitted — the increment cannot claim full-recompute "
                     "parity; re-run the chain at the lower threshold"
                 )
+            # committed_t < cfg is accepted but NOT parity: the base's
+            # extra low-threshold merges coarsen today's clusters vs a
+            # full recompute at cfg (see run_incremental docstring) —
+            # holes are refused above, coarsening is documented.
     if not base_ledgers[0].is_committed("cluster"):
         raise ValueError(f"base {chain[0]} has no committed cluster stage")
 

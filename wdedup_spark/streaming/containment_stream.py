@@ -79,19 +79,25 @@ def freq_order_udf(freqs: dict, arr_type: DataType):
         n = len(arr)
         if n == 0:
             return pd.Series([], dtype=object)
-        lens = np.fromiter((len(x) for x in arr), dtype=np.int64, count=n)
+        # null arrays stay null (the round-4 array_sort path's semantics:
+        # size(null) = -1 is filtered downstream, never a crash here)
+        vals = [x if x is not None else [] for x in arr]
+        lens = np.fromiter((len(x) for x in vals), dtype=np.int64, count=n)
         if lens.sum() == 0:
             return arr
         flat = pd.DataFrame(
             {
                 "r": np.repeat(np.arange(n, dtype=np.int64), lens),
-                "tk": np.concatenate(list(arr)),
+                "tk": np.concatenate([np.asarray(x) for x in vals if len(x)]),
             }
         )
         flat["df"] = flat["tk"].map(freqs).fillna(0).astype(np.int64)
         flat = flat.sort_values(["r", "df", "tk"], kind="stable")
         bounds = np.cumsum(lens)[:-1]
-        return pd.Series(list(np.split(flat["tk"].to_numpy(), bounds)))
+        parts = np.split(flat["tk"].to_numpy(), bounds)
+        return pd.Series(
+            [None if x is None else p for x, p in zip(arr, parts)]
+        )
 
     return _ordered
 
