@@ -102,6 +102,88 @@ def _total_cores(spec: str) -> int:
     return int(spec)
 
 
+# In-window machine-speed probe (round 5).  The steal counter misses a
+# whole class of neighbor contention: windows with pristine steal (<130
+# jiffies) have measured 30-50% slower across EVERY pipeline stage
+# (BENCH.md round 4/5 — multi-threaded bursts, memory-bandwidth pressure,
+# host frequency scaling are all invisible to /proc/stat steal).  The
+# probe makes that contention measurable: a fixed numpy kernel (one
+# cache-resident matmul + one 8 MB streaming pass per iteration, so both
+# ALU and memory-bandwidth contention register) runs for the DURATION of
+# each window, taskset-pinned to a core OUTSIDE the level's budget, and
+# reports iterations/sec.  A window is clean only if steal passes AND the
+# probe ran at >= SCALE_PROBE_GATE (default 0.93) of the fastest rate
+# this execution has seen (a ~10 s idle calibration before the first
+# window seeds that reference; later faster windows raise it).  Probe
+# rates ride in the artifact so executions are comparable ACROSS runs —
+# a slow-machine execution is visible instead of silently deflating the
+# efficiency headline.
+#
+# The reference rate is PER LEVEL (each window gates against the best
+# rate its own level has seen), because the probe also feels the
+# benchmark's own load: with 8 cores busy (4x2) the bystander core reads
+# systematically lower (shared L3/bandwidth/turbo) than with 2 busy
+# (1x2) — measured ~5% on this box.  Self-load is CONSTANT within a
+# level, so within-level relative rate isolates exactly the neighbor
+# noise; a global reference would bias the gate against the
+# high-parallelism level.  Sustained whole-level contention (every
+# window equally slow) is invisible to a within-level gate by
+# construction — that is what the absolute rates in the artifact are
+# for: compare them across executions.
+PROBE_SRC = """
+import json, sys, time
+import numpy as np
+out = sys.argv[1]
+rng = np.random.default_rng(0)
+A = rng.random((512, 512)); B = rng.random((512, 512))
+M = rng.random(1024 * 1024)  # 8 MB: streams through L2/L3 to DRAM
+n = 0
+t0 = time.perf_counter()
+while True:
+    A @ B
+    M += 1.0
+    n += 1
+    if n % 5 == 0:
+        el = time.perf_counter() - t0
+        with open(out, "w") as f:
+            f.write(json.dumps({"iters": n, "secs": round(el, 3),
+                                "rate": round(n / el, 2)}))
+"""
+
+
+def _start_probe(probe_dir: str, busy_cores: int):
+    """Launch the probe pinned outside the level's core budget; returns
+    (popen, path) or (None, None) when disabled or no spare core."""
+    if os.environ.get("SCALE_PROBE", "1") == "0":
+        return None, None
+    cpu = os.environ.get("SCALE_PROBE_CPUS", str(os.cpu_count() - 1))
+    if busy_cores >= os.cpu_count() - 1:
+        return None, None  # level owns ~every core: probe would perturb it
+    path = os.path.join(probe_dir, f"probe-{time.monotonic_ns()}.json")
+    cmd = [sys.executable, "-c", PROBE_SRC, path]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", cpu] + cmd
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return p, path
+
+
+def _stop_probe(p, path):
+    """Terminate the probe and return its measured iterations/sec (None
+    when the probe was disabled or produced nothing)."""
+    if p is None:
+        return None
+    p.terminate()
+    try:
+        p.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        p.kill()
+    try:
+        with open(path) as f:
+            return json.load(f).get("rate")
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
@@ -132,6 +214,15 @@ def main() -> None:
     CLEAN_STEAL = int(os.environ.get("SCALE_CLEAN_STEAL_JIFFIES", "2500"))
     MAX_ATTEMPTS = int(os.environ.get("SCALE_MAX_ATTEMPTS", "10"))
     CLEAN_K = int(os.environ.get("SCALE_CLEAN_K", "3"))
+    PROBE_GATE = float(os.environ.get("SCALE_PROBE_GATE", "0.93"))
+    probe_dir = tempfile.mkdtemp(prefix="scale-probe-")
+    # idle calibration: ~10 s of the probe alone seeds the machine-speed
+    # reference; the fastest window later observed can only RAISE it
+    p, ppath = _start_probe(probe_dir, busy_cores=0)
+    time.sleep(10)
+    probe_calib = _stop_probe(p, ppath)
+    probe_ref: dict = {}  # per-level best observed rate (see PROBE note)
+    print(json.dumps({"probe_calib_rate": probe_calib}), flush=True)
     try:
         # Steal-gated clean-window hunting (VERDICT r4 #2: n>=3, median):
         # this sandbox shares a hypervisor host and sees bursts of CPU
@@ -159,39 +250,73 @@ def main() -> None:
                     # and making measured N->4N efficiency meaningless
                     # (observed: unpinned 4x8 SLOWER than 1x8).
                     cmd = ["taskset", "-c", f"0-{_total_cores(spec) - 1}"] + cmd
-                out = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=3600,
-                )
+                p, ppath = _start_probe(probe_dir, _total_cores(spec))
+                try:
+                    out = subprocess.run(
+                        cmd, capture_output=True, text=True, timeout=3600,
+                    )
+                finally:
+                    rate = _stop_probe(p, ppath)
                 line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
                 r["steal_jiffies"] = steal() - s0
+                r["probe_rate"] = rate
+                probe_ref[spec] = max(probe_ref.get(spec, 0.0), rate or 0.0)
+                r["probe_frac"] = (
+                    round(rate / probe_ref[spec], 3)
+                    if rate and probe_ref[spec] else None
+                )
                 print(r, flush=True)
-                if r["steal_jiffies"] <= CLEAN_STEAL:
+                # clean = steal gate AND machine-speed gate (probe_frac is
+                # vs the best rate THIS LEVEL has seen SO FAR — a later
+                # faster window can expose an earlier "clean" one as
+                # slow-machine, which the final recheck below catches)
+                if r["steal_jiffies"] <= CLEAN_STEAL and (
+                    r["probe_frac"] is None or r["probe_frac"] >= PROBE_GATE
+                ):
                     clean.append(r)
                 all_runs.append(r)
                 if len(clean) >= CLEAN_K:
                     break
-            # If the gate NEVER passed, still emit a number (better than
-            # nothing after an hour of runs) but it must not masquerade
-            # as a clean median: gate_satisfied=False propagates to the
-            # summary and the clean_walls list stays empty.
-            pool = clean or [x for x in all_runs if x.get("spec") == spec]
-            walls = sorted(x["wall_s"] for x in pool)
-            med = walls[len(walls) // 2] if len(walls) % 2 else round(
-                (walls[len(walls) // 2 - 1] + walls[len(walls) // 2]) / 2, 3
-            )
-            results[spec] = {
-                "gate_satisfied": bool(clean),
-                "clean_runs": clean,
-                "runs": pool,
-                "n_clean": len(clean),
-                "median_wall_s": med,
-                "best_wall_s": walls[0],
-                "n_turns": pool[0]["n_turns"],
-            }
     finally:
         if not reused:
             shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(probe_dir, ignore_errors=True)
+
+    # Authoritative clean sets + medians, computed AFTER both levels
+    # against each level's FINAL probe reference: the in-loop gate only
+    # controls when to stop hunting; a faster window later in the level
+    # retroactively exposes earlier slow-machine windows.  If the gates
+    # never passed at a level, still emit a number (better than nothing
+    # after an hour of runs) but it must not masquerade as a clean
+    # median: gate_satisfied=False propagates to the summary and the
+    # clean_walls list stays empty.
+    for spec in (n_low, n_high):
+        level_runs = [x for x in all_runs if x.get("spec") == spec]
+        ref = probe_ref.get(spec, 0.0)
+        clean = [
+            x for x in level_runs
+            if x["steal_jiffies"] <= CLEAN_STEAL
+            and (
+                x["probe_rate"] is None
+                or ref == 0.0
+                or x["probe_rate"] / ref >= PROBE_GATE
+            )
+        ]
+        pool = clean or level_runs
+        walls = sorted(x["wall_s"] for x in pool)
+        med = walls[len(walls) // 2] if len(walls) % 2 else round(
+            (walls[len(walls) // 2 - 1] + walls[len(walls) // 2]) / 2, 3
+        )
+        results[spec] = {
+            "gate_satisfied": bool(clean),
+            "clean_runs": clean,
+            "runs": pool,
+            "n_clean": len(clean),
+            "median_wall_s": med,
+            "best_wall_s": walls[0],
+            "n_turns": pool[0]["n_turns"],
+        }
 
     t_lo, t_hi = results[n_low]["median_wall_s"], results[n_high]["median_wall_s"]
     ratio = _total_cores(n_high) / _total_cores(n_low)
@@ -208,8 +333,10 @@ def main() -> None:
     summary = {
         "protocol": f"{_label(n_low)} vs {_label(n_high)}, same input, same job "
                     f"(sandbox N->{ratio:g}N; multi-JVM when specs are WxC); "
-                    f"median of clean steal-gated windows per level "
-                    f"(target {CLEAN_K} clean windows, gate {CLEAN_STEAL} jiffies)",
+                    f"median of clean windows per level "
+                    f"(target {CLEAN_K} clean windows; gates: steal <= "
+                    f"{CLEAN_STEAL} jiffies AND in-window machine-speed probe "
+                    f">= {PROBE_GATE} of its level's best observed rate)",
         "n_turns": n_turns,
         f"wall_s_{n_low}": t_lo,
         f"wall_s_{n_high}": t_hi,
@@ -222,13 +349,20 @@ def main() -> None:
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_best_window": round(eff_best, 3),
+        # machine-speed evidence: iterations/sec of the fixed numpy probe
+        # (idle calibration, the execution-wide reference, and per-window
+        # rates per level) — comparable ACROSS executions on this box
+        "probe_calib_rate": probe_calib,
+        "probe_ref_rates": {s: probe_ref.get(s) for s in (n_low, n_high)},
+        f"probe_rates_{n_low}": [r.get("probe_rate") for r in results[n_low]["runs"]],
+        f"probe_rates_{n_high}": [r.get("probe_rate") for r in results[n_high]["runs"]],
     }
     if not (results[n_low]["gate_satisfied"] and results[n_high]["gate_satisfied"]):
-        # every window at >=1 level exceeded the steal gate: the medians
-        # above are computed from contaminated runs and must say so
-        summary["steal_gate_satisfied"] = False
+        # every window at >=1 level failed a gate: the medians above are
+        # computed from contaminated runs and must say so
+        summary["gates_satisfied"] = False
         summary["warning"] = (
-            "no window passed the steal gate at: "
+            "no window passed the steal+probe gates at: "
             + ", ".join(s for s in (n_low, n_high) if not results[s]["gate_satisfied"])
             + " — medians use DIRTY runs; do not quote as clean-window numbers"
         )
