@@ -257,8 +257,18 @@ def main() -> None:
                     )
                 finally:
                     rate = _stop_probe(p, ppath)
-                line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-                r = json.loads(line)
+                # a crashed/OOM'd worker window must cost one attempt, not
+                # the whole multi-hour execution
+                lines = [l for l in out.stdout.strip().splitlines()
+                         if l.startswith("{")]
+                if not lines:
+                    print(json.dumps({
+                        "spec": spec, "window_failed": True,
+                        "returncode": out.returncode,
+                        "stderr_tail": out.stderr[-500:],
+                    }), flush=True)
+                    continue
+                r = json.loads(lines[-1])
                 r["steal_jiffies"] = steal() - s0
                 r["probe_rate"] = rate
                 probe_ref[spec] = max(probe_ref.get(spec, 0.0), rate or 0.0)
