@@ -420,6 +420,50 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (functions/pii.py): per-doc match counts per PII
+    type plus the md5 of the redacted text.
+
+    The synthetic corpus contains no PII, so the query PLANTS it
+    deterministically from doc_id (every doc an email; every 3rd an IPv4;
+    every 5th a phone; every 7th an SSN) — identically reconstructed in
+    the DuckDB oracle — so the redaction demonstrably fires on every
+    pattern instead of vacuously matching nothing."""
+    from wdedup_spark.functions import pii
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = d.cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), s, F.lit("@example.com"),
+            F.when(d % 3 == 0, F.concat(
+                F.lit(" from "), (d % 256).cast("string"),
+                F.lit(".10.0."), (d % 100).cast("string"))).otherwise(""),
+            F.when(d % 5 == 0, F.concat(
+                F.lit(" call "), F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"), F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(""),
+            F.when(d % 7 == 0, F.concat(
+                F.lit(" ssn "), F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"), F.lpad((d % 100).cast("string"), 2, "0"),
+                F.lit("-"), F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(""),
+        ).alias("t"),
+    )
+    counts = pii.pii_counts("t")
+    return planted.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["phone"].cast("long").alias("n_phone"),
+        counts["ssn"].cast("long").alias("n_ssn"),
+        F.md5(pii.redact("t")).alias("redacted_md5"),
+        (F.length("t") - F.length(pii.redact("t"))).cast("long").alias("len_delta"),
+    )
+
+
 SPAN_TOKENS = 16  # span-dedup window width (tokens), shared with the oracle
 
 
@@ -954,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "pii_redact": q_pii_redact,
         "span_dup_stats": q_span_dup_stats,
         "span_dedup_docs": q_span_dedup_docs,
         "containment_pairs": q_containment_pairs,
@@ -1151,6 +1196,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
         FROM documents
+    """
+
+    # PII scrub: plant deterministic PII from doc_id (mirroring
+    # q_pii_redact exactly), then count and redact with the same
+    # Java/RE2-common patterns, in the same order (email, ipv4, ssn,
+    # phone — PII_PATTERNS dict order).
+    sql["pii_redact"] = """
+        WITH planted AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id::VARCHAR || '@example.com'
+                 || CASE WHEN doc_id % 3 = 0 THEN
+                      ' from ' || (doc_id % 256)::VARCHAR || '.10.0.' || (doc_id % 100)::VARCHAR
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN
+                      ' call ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                      || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN
+                      ' ssn ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                      || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-'
+                      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    ELSE '' END AS t
+          FROM documents
+        ), red AS (
+          SELECT doc_id, t,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                   '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS r
+          FROM planted
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+               len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+               len(regexp_extract_all(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))::BIGINT AS n_phone,
+               len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT AS n_ssn,
+               md5(r) AS redacted_md5,
+               (len(t) - len(r))::BIGINT AS len_delta
+        FROM red
     """
 
     sql["media_dedup"] = """

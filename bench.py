@@ -59,6 +59,7 @@ HEADLINE = [
     "edit_dup_pairs",
     "cosine_highsim_pairs",
     "token_stats",
+    "pii_redact",
     "span_dup_stats",
     "span_dedup_docs",
     "prefix_subsumed",
