@@ -464,6 +464,22 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing placement (operators/pack.py):
+    where each document's tokens land when the corpus is concatenated in
+    doc_id order and split every 512 tokens.  Runs the distributed
+    prefix-sum (range partition + per-partition window + P-row offset
+    window) — the oracle mirrors it with a plain global window, which is
+    exactly the equivalence the operator claims."""
+    from wdedup_spark.operators import pack
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack.pack_plan(docs, seq_len=512).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens", "tok_start", "seq_start", "seq_off", "seq_end",
+    )
+
+
 SPAN_TOKENS = 16  # span-dedup window width (tokens), shared with the oracle
 
 
@@ -999,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "pii_redact": q_pii_redact,
+        "pack_plan": q_pack_plan,
         "span_dup_stats": q_span_dup_stats,
         "span_dedup_docs": q_span_dedup_docs,
         "containment_pairs": q_containment_pairs,
@@ -1196,6 +1213,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
         FROM documents
+    """
+
+    # Sequence packing: the oracle is the NAIVE global-window cumsum —
+    # the operator's distributed prefix sum must equal it exactly.
+    sql["pack_plan"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 (sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens)::BIGINT AS tok_start
+          FROM t
+        )
+        SELECT doc_id, n_tokens, tok_start,
+               (tok_start // 512)::BIGINT AS seq_start,
+               (tok_start % 512)::BIGINT AS seq_off,
+               (CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+                     ELSE tok_start // 512 END)::BIGINT AS seq_end
+        FROM c
     """
 
     # PII scrub: plant deterministic PII from doc_id (mirroring

@@ -60,6 +60,7 @@ HEADLINE = [
     "cosine_highsim_pairs",
     "token_stats",
     "pii_redact",
+    "pack_plan",
     "span_dup_stats",
     "span_dedup_docs",
     "prefix_subsumed",

@@ -1,0 +1,71 @@
+"""Sequence packing (operators/pack.py): placement math, boundary
+straddles, empty docs, and invariance to the sampled range-partition
+boundaries (the distributed-prefix-sum correctness claim)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wdedup_spark.operators import pack
+
+
+def _docs(spark, counts):
+    """docs whose whitespace token count is counts[i], id = i."""
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(counts)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_placement_handcrafted(spark):
+    # L=10: counts 4,7,10,0,25 -> starts 0,4,11,21,21
+    plan = pack.pack_plan(_docs(spark, [4, 7, 10, 0, 25]), seq_len=10)
+    got = {r.id: r.asDict() for r in plan.collect()}
+    exp = {
+        0: dict(n_tokens=4, tok_start=0, seq_start=0, seq_off=0, seq_end=0),
+        1: dict(n_tokens=7, tok_start=4, seq_start=0, seq_off=4, seq_end=1),
+        2: dict(n_tokens=10, tok_start=11, seq_start=1, seq_off=1, seq_end=2),
+        3: dict(n_tokens=0, tok_start=21, seq_start=2, seq_off=1, seq_end=2),
+        4: dict(n_tokens=25, tok_start=21, seq_start=2, seq_off=1, seq_end=4),
+    }
+    for i, e in exp.items():
+        for k, v in e.items():
+            assert got[i][k] == v, (i, k, got[i])
+
+
+def test_invariant_to_partition_count(spark):
+    counts = [(i * 7919) % 40 for i in range(400)]  # incl. zeros
+    base = None
+    for par in (2, 3, 8):
+        plan = pack.pack_plan(_docs(spark, counts), seq_len=32, n_partitions=par)
+        rows = sorted(tuple(r) for r in plan.collect())
+        if base is None:
+            base = rows
+        else:
+            assert rows == base, f"partition count {par} changed the packing"
+
+
+def test_matches_global_window_reference(spark):
+    counts = [(i * 31) % 17 for i in range(200)]
+    plan = {r.id: r.tok_start
+            for r in pack.pack_plan(_docs(spark, counts), seq_len=16,
+                                    n_partitions=4).collect()}
+    run = 0
+    for i, n in enumerate(counts):
+        assert plan[i] == run, i
+        run += n
+
+
+def test_pack_stats(spark):
+    # 4+7+10+0+25 = 46 tokens, L=10 -> 5 chunks, fill 0.92; docs 1,2,4
+    # straddle a boundary (doc 3 is empty, seq_end == seq_start)
+    plan = pack.pack_plan(_docs(spark, [4, 7, 10, 0, 25]), seq_len=10)
+    s = pack.pack_stats(plan, seq_len=10).collect()[0]
+    assert (s.n_docs, s.total_tokens, s.n_seqs) == (5, 46, 5)
+    assert abs(s.fill_frac - 0.92) < 1e-9
+    assert abs(s.straddle_frac - 0.6) < 1e-9
+
+
+def test_rejects_bad_seq_len(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack.pack_plan(_docs(spark, [1]), seq_len=0)

@@ -1,0 +1,137 @@
+"""Sequence packing plan — concat-and-chunk at corpus scale.
+
+LLM training consumes fixed-length token sequences; the standard
+"concat-and-chunk" scheme (GPT-2/3 style) concatenates every document in
+a deterministic order and splits the stream every ``seq_len`` tokens,
+letting documents straddle chunk boundaries.  This operator computes the
+per-document placement — where each document's tokens land in that
+virtual stream — WITHOUT the naive formulation's scale bug: a running
+total via ``Window.orderBy(id)`` with no ``partitionBy`` collapses the
+whole corpus into ONE partition (Spark warns and then does it), which is
+exactly the kind of plan that works at sf0.1 and dies at 100 TB.
+
+Plan shape (distributed prefix sum, the textbook two-phase scan):
+
+1. range-partition the (id, n_tokens) projection by id — one exchange of
+   two longs per document; ``localCheckpoint`` PINS the sampled partition
+   boundaries (RangePartitioner samples per job; the totals pass and the
+   cumsum pass must see the SAME pids — same hazard prefixdedup.py:90-98
+   documents, verified empirically there);
+2. within-partition running totals: ``Window.partitionBy(pid)
+   .orderBy(id)`` — parallel across partitions;
+3. cross-partition offsets: aggregate ONE row per partition, prefix-sum
+   those P rows in a single-partition window (bounded by partition
+   count, never by data), broadcast-join the offsets back.
+
+The result is invariant to the sampled boundaries (prefix offsets +
+within-partition cumsum = global cumsum wherever the cuts fall), so the
+output is deterministic and SQL-mirrorable by a plain global window —
+which is what the driver's DuckDB oracle runs.
+
+Reference scope: the reference engine stops at word dedup (it has no
+packing stage); this is part of the §2-adjacent training-pipeline layer,
+like functions/pii.py and operators/quality.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from wdedup_spark.functions.text import token_count
+
+
+def pack_plan(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    count_col: str | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """→ ``(id, n_tokens, tok_start, seq_start, seq_off, seq_end)`` per
+    document: the document's tokens occupy stream positions
+    ``[tok_start, tok_start + n_tokens)``; it begins in chunk
+    ``seq_start`` at offset ``seq_off`` and ends in chunk ``seq_end``
+    (== ``seq_start`` for empty documents, which occupy no tokens).
+
+    Stream order is ascending ``id_col`` — the caller's contract for
+    reproducible packing.  ``count_col`` supplies a precomputed token
+    count (e.g. a real BPE count); default is the whitespace proxy.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    spark = df.sparkSession
+    counted = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(count_col) if count_col else token_count(text_col))
+        .cast("long").alias("n_tokens"),
+    )
+    par = n_partitions or max(spark.sparkContext.defaultParallelism, 2)
+    ranged = (
+        counted.repartitionByRange(par, "id")
+        .localCheckpoint(eager=True)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    cum = ranged.withColumn(
+        "cum_in_part",
+        F.sum("n_tokens").over(Window.partitionBy("pid").orderBy("id")),
+    )
+    # ONE row per partition; the no-partitionBy window below runs over
+    # those P rows only — bounded by partition count, never by data
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("part_total"))
+        .withColumn(
+            "part_offset",
+            F.coalesce(
+                F.sum("part_total").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("part_total")
+    )
+    placed = cum.join(F.broadcast(offsets), "pid").select(
+        "id",
+        "n_tokens",
+        (F.col("part_offset") + F.col("cum_in_part") - F.col("n_tokens"))
+        .alias("tok_start"),
+    )
+    # `div` = exact 64-bit integer division (floor(a/b) via doubles loses
+    # exactness past 2^53 tokens — not a bound worth carrying)
+    return placed.select(
+        "id",
+        "n_tokens",
+        "tok_start",
+        F.expr(f"tok_start div {seq_len}").alias("seq_start"),
+        F.expr(f"tok_start % {seq_len}").alias("seq_off"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(tok_start + n_tokens - 1) div {seq_len}"),
+        )
+        .otherwise(F.expr(f"tok_start div {seq_len}"))
+        .alias("seq_end"),
+    )
+
+
+def pack_stats(plan: DataFrame, seq_len: int) -> DataFrame:
+    """→ one row ``(n_docs, total_tokens, n_seqs, fill_frac,
+    straddle_frac)``: chunk count for the packed corpus, fill ratio of
+    the final (padded) chunk layout, and the fraction of documents that
+    straddle a chunk boundary — the packing-quality numbers a data team
+    reads before committing a seq_len."""
+    return plan.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.ceil(F.sum("n_tokens") / F.lit(seq_len))).cast("long").alias("n_seqs"),
+        F.round(
+            F.sum("n_tokens")
+            / (F.ceil(F.sum("n_tokens") / F.lit(seq_len)) * F.lit(seq_len)),
+            6,
+        ).alias("fill_frac"),
+        F.round(
+            F.avg((F.col("seq_end") > F.col("seq_start")).cast("double")), 6
+        ).alias("straddle_frac"),
+    )
