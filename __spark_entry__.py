@@ -480,6 +480,24 @@ def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}  # + default 0.1
+MIX_SALT = "mix-r5"
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix cut (operators/sample.py): per-source
+    Bernoulli fractions via a salted md5 coin keyed on doc_id — the
+    reproducible-across-cluster-shapes sampling idiom.  The oracle
+    replays the identical md5 draw and integer thresholds."""
+    from wdedup_spark.operators import sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample.stratified_sample(
+        docs, MIX_FRACS, strata_col="source", id_col="doc_id",
+        salt=MIX_SALT, default_frac=0.1,
+    ).select("doc_id", "source")
+
+
 SPAN_TOKENS = 16  # span-dedup window width (tokens), shared with the oracle
 
 
@@ -1016,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pii_redact": q_pii_redact,
         "pack_plan": q_pack_plan,
+        "mixture_sample": q_mixture_sample,
         "span_dup_stats": q_span_dup_stats,
         "span_dedup_docs": q_span_dedup_docs,
         "containment_pairs": q_containment_pairs,
@@ -1235,6 +1254,22 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
                      ELSE tok_start // 512 END)::BIGINT AS seq_end
         FROM c
+    """
+
+    # Deterministic mixture sampling: same salted-md5 60-bit draw, same
+    # integer thresholds (computed here in python — no float in the keep
+    # decision on either engine).
+    _mix_case = " ".join(
+        f"WHEN '{k}' THEN {int(v * (1 << 60))}" for k, v in MIX_FRACS.items()
+    )
+    sql["mixture_sample"] = f"""
+        WITH u AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':{MIX_SALT}'), 1, 15))::UBIGINT AS h
+          FROM documents
+        )
+        SELECT doc_id, source FROM u
+        WHERE h < CASE source {_mix_case} ELSE {int(0.1 * (1 << 60))} END
     """
 
     # PII scrub: plant deterministic PII from doc_id (mirroring

@@ -61,6 +61,7 @@ HEADLINE = [
     "token_stats",
     "pii_redact",
     "pack_plan",
+    "mixture_sample",
     "span_dup_stats",
     "span_dedup_docs",
     "prefix_subsumed",

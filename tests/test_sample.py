@@ -1,0 +1,70 @@
+"""Deterministic hash sampling (operators/sample.py): reproducibility
+across partitionings, rate accuracy, salt independence, and the
+soft-dedup composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wdedup_spark.operators import sample
+from wdedup_spark.operators.quality import soft_dedup_weights
+
+N = 4000
+
+
+def _ids(spark, n=N, par=4):
+    return spark.range(n).select(F.col("id").alias("doc_id")).repartition(par)
+
+
+def test_deterministic_across_partitionings(spark):
+    a = {r.doc_id for r in sample.bernoulli_sample(_ids(spark, par=2), 0.3,
+                                                   salt="s").collect()}
+    b = {r.doc_id for r in sample.bernoulli_sample(_ids(spark, par=13), 0.3,
+                                                   salt="s").collect()}
+    assert a == b and 0 < len(a) < N
+
+
+def test_rate_close_and_salts_independent(spark):
+    a = {r.doc_id for r in sample.bernoulli_sample(_ids(spark), 0.5, salt="a").collect()}
+    b = {r.doc_id for r in sample.bernoulli_sample(_ids(spark), 0.5, salt="b").collect()}
+    for s in (a, b):  # binomial(4000, .5): ±5 sigma ≈ ±158
+        assert abs(len(s) - N / 2) < 160
+    overlap = len(a & b)  # independent draws: ~N/4
+    assert abs(overlap - N / 4) < 160
+
+
+def test_nested_fractions(spark):
+    # the keyed draw is a fixed uniform per id: frac=0.1 kept set is a
+    # subset of frac=0.3's under the same salt (consistency property)
+    lo = {r.doc_id for r in sample.bernoulli_sample(_ids(spark), 0.1, salt="s").collect()}
+    hi = {r.doc_id for r in sample.bernoulli_sample(_ids(spark), 0.3, salt="s").collect()}
+    assert lo <= hi
+
+
+def test_edge_fracs(spark):
+    assert sample.bernoulli_sample(_ids(spark), 0.0).count() == 0
+    assert sample.bernoulli_sample(_ids(spark), 1.0).count() == N
+    with pytest.raises(ValueError):
+        sample.bernoulli_sample(_ids(spark), 1.5)
+
+
+def test_stratified(spark):
+    df = _ids(spark).withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b"))
+    got = sample.stratified_sample(df, {"a": 1.0}, strata_col="source",
+                                   salt="s", default_frac=0.0)
+    rows = got.groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in rows} == {"a": N // 2}
+    with pytest.raises(ValueError):
+        sample.stratified_sample(df, {"a": -0.1})
+
+
+def test_soft_dedup_composition(spark):
+    # clusters of size 4: weighted_sample keeps ~1/4 of members -> the
+    # cluster contributes ~one doc in expectation
+    df = _ids(spark).withColumn("cluster_id", F.col("doc_id") % (N // 4))
+    w = soft_dedup_weights(df, id_col="doc_id", cluster_col="cluster_id")
+    kept = sample.weighted_sample(w, "weight", id_col="id", salt="s")
+    # binomial(4000, .25): mean 1000, ±5 sigma ≈ ±137
+    assert abs(kept.count() - N / 4) < 140
