@@ -12,13 +12,16 @@ exactly the kind of plan that works at sf0.1 and dies at 100 TB.
 
 Plan shape (distributed prefix sum, the textbook two-phase scan):
 
-1. range-partition the (id, n_tokens) projection by id — one exchange of
+1. range-partition the (id, n_tokens) projection by id — an exchange of
    two longs per document; ``localCheckpoint`` PINS the sampled partition
    boundaries (RangePartitioner samples per job; the totals pass and the
    cumsum pass must see the SAME pids — same hazard prefixdedup.py:90-98
    documents, verified empirically there);
 2. within-partition running totals: ``Window.partitionBy(pid)
-   .orderBy(id)`` — parallel across partitions;
+   .orderBy(id)`` — parallel across partitions.  (Catalyst can't know
+   rows are already clustered by pid, so the window re-exchanges the
+   projection on pid — the ~16-byte rows cross the wire twice in total,
+   which is still ~1% of corpus bytes; plan-audited in docs/PLANS.md);
 3. cross-partition offsets: aggregate ONE row per partition, prefix-sum
    those P rows in a single-partition window (bounded by partition
    count, never by data), broadcast-join the offsets back.
