@@ -76,9 +76,16 @@ def pack_plan(
         .localCheckpoint(eager=True)
         .withColumn("pid", F.spark_partition_id())
     )
+    # explicit ROWS frame: the orderBy default is a RANGE frame, which
+    # would lump duplicate ids into one cumsum step; ROWS matches the
+    # oracle's `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`
     cum = ranged.withColumn(
         "cum_in_part",
-        F.sum("n_tokens").over(Window.partitionBy("pid").orderBy("id")),
+        F.sum("n_tokens").over(
+            Window.partitionBy("pid")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
     # ONE row per partition; the no-partitionBy window below runs over
     # those P rows only — bounded by partition count, never by data
