@@ -604,27 +604,39 @@ def q_stream_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = add_shingles(idx_docs, "doc", k=K).select("conv_id", "shingles")
     index = containment_index(signed, threshold=t - 1e-6, k=K)
 
+    import shutil
+
     d = tempfile.mkdtemp(prefix="wdedup_stream_containment_")
-    st_docs.repartition(4).write.mode("overwrite").parquet(d + "/in")
-    stream = (
-        spark.readStream.schema(st_docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d + "/in")
-    )
-    flags = stream_containment_flags(stream, index)
     seen: dict = {}
+    try:
+        st_docs.repartition(4).write.mode("overwrite").parquet(d + "/in")
+        stream = (
+            spark.readStream.schema(st_docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/in")
+        )
+        flags = stream_containment_flags(stream, index)
 
-    def sink(bdf: DataFrame, _bid: int) -> None:
-        for r in bdf.dropDuplicates(["conv_id", "index_id"]).collect():
-            seen[(r["conv_id"], r["index_id"])] = r["containment"]
+        def sink(bdf: DataFrame, _bid: int) -> None:
+            for r in bdf.dropDuplicates(["conv_id", "index_id"]).collect():
+                seen[(r["conv_id"], r["index_id"])] = r["containment"]
 
-    q = (
-        flags.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", d + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q = (
+            flags.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow drains the 4 micro-batches in well under a minute
+        # at any driver sf; a wedged stream must FAIL the query, not hang
+        # the whole driver run (review r5)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_containment did not drain in 600 s")
+    finally:
+        # the staged input + checkpoint are per-invocation scratch; every
+        # other temp path in the repo is cleaned the same way (review r5)
+        shutil.rmtree(d, ignore_errors=True)
     rows = [
         (int(a), int(b), round(float(c), 6))
         for (a, b), c in sorted(seen.items())

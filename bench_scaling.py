@@ -119,6 +119,19 @@ def _total_cores(spec: str) -> int:
 # a slow-machine execution is visible instead of silently deflating the
 # efficiency headline.
 #
+# The idle calibration SEEDS each level's reference (review r5): without
+# a seed the first window at a level is trivially its own reference
+# (probe_frac == 1.0 by construction), so an execution whose first
+# CLEAN_K windows are all 30-50% slow — exactly the r5exec2 class the
+# gate exists for — would pass every gate.  The seed is the idle rate
+# discounted by SCALE_PROBE_SELFLOAD (default 0.12): the probe reads
+# ~5-9% lower under the benchmark's own load (measured on this box;
+# more cores busy → lower), so the discount must cover self-load without
+# swallowing real contention — the one contaminated window observed with
+# the probe live read 0.765 of idle, comfortably below the 0.88 floor
+# the default produces.  Later faster windows can only RAISE the
+# reference, never lower it below the seed.
+#
 # The reference rate is PER LEVEL (each window gates against the best
 # rate its own level has seen), because the probe also feels the
 # benchmark's own load: with 8 cores busy (4x2) the bystander core reads
@@ -221,8 +234,14 @@ def main() -> None:
     p, ppath = _start_probe(probe_dir, busy_cores=0)
     time.sleep(10)
     probe_calib = _stop_probe(p, ppath)
-    probe_ref: dict = {}  # per-level best observed rate (see PROBE note)
-    print(json.dumps({"probe_calib_rate": probe_calib}), flush=True)
+    # per-level reference rate: seeded from the idle calibration less a
+    # self-load allowance (see the PROBE seeding note above), raised by
+    # any faster window observed at that level
+    selfload = float(os.environ.get("SCALE_PROBE_SELFLOAD", "0.12"))
+    seed = (probe_calib or 0.0) * (1.0 - selfload)
+    probe_ref: dict = {s: seed for s in (n_low, n_high)}
+    print(json.dumps({"probe_calib_rate": probe_calib,
+                      "probe_ref_seed": round(seed, 2)}), flush=True)
     try:
         # Steal-gated clean-window hunting (VERDICT r4 #2: n>=3, median):
         # this sandbox shares a hypervisor host and sees bursts of CPU
@@ -277,15 +296,28 @@ def main() -> None:
                     if rate and probe_ref[spec] else None
                 )
                 print(r, flush=True)
-                # clean = steal gate AND machine-speed gate (probe_frac is
-                # vs the best rate THIS LEVEL has seen SO FAR — a later
-                # faster window can expose an earlier "clean" one as
-                # slow-machine, which the final recheck below catches)
-                if r["steal_jiffies"] <= CLEAN_STEAL and (
-                    r["probe_frac"] is None or r["probe_frac"] >= PROBE_GATE
-                ):
-                    clean.append(r)
                 all_runs.append(r)
+                # clean = steal gate AND machine-speed gate, recomputed
+                # over ALL of this level's windows against the CURRENT
+                # (seeded, monotone) reference: a faster window that
+                # raises the reference retroactively expels earlier
+                # slow-machine windows from the clean set, and the hunt
+                # CONTINUES until CLEAN_K windows are clean against the
+                # final reference — the published median can never rest
+                # on fewer than CLEAN_K windows while claiming the gate
+                # (review r5: the old append-only set could shrink below
+                # CLEAN_K in the post-hoc recheck with no re-hunting)
+                ref = probe_ref.get(spec, 0.0)
+                clean = [
+                    x for x in all_runs
+                    if x.get("spec") == spec
+                    and x["steal_jiffies"] <= CLEAN_STEAL
+                    and (
+                        x["probe_rate"] is None
+                        or ref == 0.0
+                        or x["probe_rate"] / ref >= PROBE_GATE
+                    )
+                ]
                 if len(clean) >= CLEAN_K:
                     break
     finally:
@@ -314,6 +346,20 @@ def main() -> None:
             )
         ]
         pool = clean or level_runs
+        if not pool:
+            # every attempt at this level crashed (window_failed): emit a
+            # loud failure artifact instead of dying with IndexError after
+            # a multi-hour execution (review r5)
+            failure = {
+                "error": f"no completed windows at level {spec} "
+                         f"(all attempts crashed — see window_failed "
+                         f"lines in the execution log)",
+                "probe_calib_rate": probe_calib,
+            }
+            print(json.dumps(failure))
+            with open(os.path.join(repo, f"bench_scaling_{n_low}_{n_high}.json"), "w") as f:
+                f.write(json.dumps(failure) + "\n")
+            sys.exit(1)
         walls = sorted(x["wall_s"] for x in pool)
         med = walls[len(walls) // 2] if len(walls) % 2 else round(
             (walls[len(walls) // 2 - 1] + walls[len(walls) // 2]) / 2, 3
@@ -322,6 +368,7 @@ def main() -> None:
             "gate_satisfied": bool(clean),
             "clean_runs": clean,
             "runs": pool,
+            "level_runs": level_runs,  # ALL completed windows, dirty included
             "n_clean": len(clean),
             "median_wall_s": med,
             "best_wall_s": walls[0],
@@ -364,9 +411,20 @@ def main() -> None:
         # rates per level) — comparable ACROSS executions on this box
         "probe_calib_rate": probe_calib,
         "probe_ref_rates": {s: probe_ref.get(s) for s in (n_low, n_high)},
-        f"probe_rates_{n_low}": [r.get("probe_rate") for r in results[n_low]["runs"]],
-        f"probe_rates_{n_high}": [r.get("probe_rate") for r in results[n_high]["runs"]],
+        # ALL windows' probe rates (dirty included) — dropping the slow
+        # rates would discard exactly the contamination evidence that
+        # cross-execution comparison needs (review r5)
+        f"probe_rates_{n_low}": [r.get("probe_rate") for r in results[n_low]["level_runs"]],
+        f"probe_rates_{n_high}": [r.get("probe_rate") for r in results[n_high]["level_runs"]],
+        f"all_walls_{n_low}": [r["wall_s"] for r in results[n_low]["level_runs"]],
+        f"all_walls_{n_high}": [r["wall_s"] for r in results[n_high]["level_runs"]],
     }
+    short = [s for s in (n_low, n_high) if results[s]["n_clean"] < CLEAN_K]
+    if short and not any(not results[s]["gate_satisfied"] for s in (n_low, n_high)):
+        summary["warning"] = (
+            f"fewer than {CLEAN_K} clean windows at: " + ", ".join(short)
+            + " (MAX_ATTEMPTS exhausted) — median is over a short clean set"
+        )
     if not (results[n_low]["gate_satisfied"] and results[n_high]["gate_satisfied"]):
         # every window at >=1 level failed a gate: the medians above are
         # computed from contaminated runs and must say so

@@ -1,4 +1,4 @@
-"""PII detection and redaction — the scrub pass a training-data pipeline
+r"""PII detection and redaction — the scrub pass a training-data pipeline
 runs before (or alongside) dedup, as JVM-side Column expressions.
 
 The reference engine has no PII stage (it stops at word-level dedup,

@@ -37,20 +37,27 @@ from pyspark.sql import functions as F
 from wdedup_spark.functions.text import tokens
 
 
-def ngram_array(text: Column | str, n: int) -> Column:
-    """Distinct n-token grams of a whitespace-tokenized text, as joined
-    strings; empty array when the doc has fewer than ``n`` tokens (a doc
-    shorter than the gram width cannot be contaminated by this rule)."""
+def ngram_array(text: Column | str, n: int, distinct: bool = True) -> Column:
+    """N-token grams of a whitespace-tokenized text, as joined strings;
+    empty array when the doc has fewer than ``n`` tokens (a doc shorter
+    than the gram width cannot be contaminated by this rule).
+
+    ``distinct=True`` (the decontamination shape) deduplicates grams
+    within the doc; ``distinct=False`` keeps ALL occurrences — the
+    repetition-statistics shape (operators/quality.py), which must count
+    a 50×-repeated sentence as ~all the doc's mass, not one gram.  One
+    shared expression so a tokenization or bound fix lands in both
+    operators (review r5)."""
     toks = tokens(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def contaminated(

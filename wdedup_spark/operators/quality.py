@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wdedup_spark.functions.text import tokens
+from wdedup_spark.operators.decontaminate import ngram_array
 
 
 def repetition_stats(
@@ -49,19 +49,12 @@ def repetition_stats(
 
     Counts use ALL occurrences (not distinct grams): a doc that repeats
     one sentence 50 times must score ~1.0, not 1/n_distinct."""
-    toked = df.select(
+    # all-occurrence grams via the shared expression (explode drops the
+    # empty arrays of sub-n-token docs, so the ≥1-gram row set is
+    # unchanged); distinct=False because counts must use ALL occurrences
+    toks_grams = df.select(
         F.col(id_col).alias("id"),
-        tokens(text_col).alias("toks"),
-    ).filter(F.size("toks") >= n)
-    # all-occurrence grams: transform WITHOUT array_distinct
-    toks_grams = toked.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
-                lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
-            )
-        ).alias("gram"),
+        F.explode(ngram_array(text_col, n, distinct=False)).alias("gram"),
     )
     per_gram = toks_grams.groupBy("id", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
