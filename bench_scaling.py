@@ -222,6 +222,30 @@ def main() -> None:
         with open("/proc/stat") as f:
             return int(f.readline().split()[8])
 
+    def wait_quiet(label: str) -> None:
+        """Pre-window ambient check (SCALE_PRECHECK=0 disables): don't
+        burn a 10-minute window (or the reference calibration) when the
+        host is visibly stealing above the gate rate RIGHT NOW.  Samples
+        15 s of /proc/stat steal and waits until the sample is at or
+        below the clean gate's per-15 s equivalent (CLEAN_STEAL per
+        ~600 s window), up to SCALE_PRECHECK_MAX_S, then proceeds
+        regardless.  Scheduling only — applied identically to both
+        levels and the in-window gates remain the sole arbiter of
+        cleanliness."""
+        if os.environ.get("SCALE_PRECHECK", "1") == "0":
+            return
+        deadline = time.monotonic() + float(
+            os.environ.get("SCALE_PRECHECK_MAX_S", "2700")
+        )
+        while time.monotonic() < deadline:
+            a0 = steal()
+            time.sleep(15)
+            da = steal() - a0
+            if da <= CLEAN_STEAL * 15 / 600:
+                return
+            print(json.dumps({"precheck_wait": label, "steal_15s": da}),
+                  flush=True)
+
     worker_src = WORKER.format(repo=repo)
     results = {}
     CLEAN_STEAL = int(os.environ.get("SCALE_CLEAN_STEAL_JIFFIES", "2500"))
@@ -231,6 +255,7 @@ def main() -> None:
     probe_dir = tempfile.mkdtemp(prefix="scale-probe-")
     # idle calibration: ~10 s of the probe alone seeds the machine-speed
     # reference; the fastest window later observed can only RAISE it
+    wait_quiet("calibration")  # a noisy calibration would depress the seed
     p, ppath = _start_probe(probe_dir, busy_cores=0)
     time.sleep(10)
     probe_calib = _stop_probe(p, ppath)
@@ -258,6 +283,7 @@ def main() -> None:
             for attempt in range(MAX_ATTEMPTS):
                 os.sync()
                 time.sleep(5)
+                wait_quiet(spec)
                 s0 = steal()
                 cmd = [sys.executable, "-c", worker_src, spec, src]
                 if os.environ.get("SCALE_PIN_CPUS", "1") != "0" and shutil.which("taskset"):
