@@ -1553,7 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
     """
 
-    sql["bpe_token_counts"] = """
+    sql["bpe_token_counts"] = r"""
         WITH t AS (
           SELECT doc_id,
                  regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]') AS toks
