@@ -1255,7 +1255,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), c AS (
           SELECT doc_id, n_tokens,
-                 (sum(n_tokens) OVER (ORDER BY doc_id
+                 (sum(n_tokens) OVER (ORDER BY doc_id, n_tokens
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   - n_tokens)::BIGINT AS tok_start
           FROM t

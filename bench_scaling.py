@@ -144,7 +144,7 @@ def _total_cores(spec: str) -> int:
 # construction — that is what the absolute rates in the artifact are
 # for: compare them across executions.
 PROBE_SRC = """
-import json, sys, time
+import json, os, sys, time
 import numpy as np
 out = sys.argv[1]
 rng = np.random.default_rng(0)
@@ -158,9 +158,14 @@ while True:
     n += 1
     if n % 5 == 0:
         el = time.perf_counter() - t0
-        with open(out, "w") as f:
+        # atomic replace: the reader may land at any moment (including
+        # right after SIGTERM) and must never see a truncated file —
+        # a half-written probe JSON reads as rate=None, which the gate
+        # treats as PROBE FAILURE (dirty), not as a pass (review r5)
+        with open(out + ".tmp", "w") as f:
             f.write(json.dumps({"iters": n, "secs": round(el, 3),
                                 "rate": round(n / el, 2)}))
+        os.replace(out + ".tmp", out)
 """
 
 
@@ -195,6 +200,19 @@ def _stop_probe(p, path):
             return json.load(f).get("rate")
     except (OSError, ValueError):
         return None
+
+
+def _probe_ok(run: dict, ref: float, gate: float) -> bool:
+    """Machine-speed gate for ONE window.  A deliberately-disabled probe
+    (SCALE_PROBE=0 / the level owns every core) downgrades the gate to
+    steal-only; an enabled probe that produced no rate is a probe
+    FAILURE and the window cannot claim the gate (review r5: None used
+    to count as a pass, silently disarming the gate)."""
+    if not run.get("probe_enabled"):
+        return True
+    if run.get("probe_rate") is None or ref <= 0.0:
+        return False
+    return run["probe_rate"] / ref >= gate
 
 
 def main() -> None:
@@ -297,9 +315,19 @@ def main() -> None:
                     cmd = ["taskset", "-c", f"0-{_total_cores(spec) - 1}"] + cmd
                 p, ppath = _start_probe(probe_dir, _total_cores(spec))
                 try:
-                    out = subprocess.run(
-                        cmd, capture_output=True, text=True, timeout=3600,
-                    )
+                    # a hung worker (wedged past the timeout) must also
+                    # cost one attempt, not the whole multi-hour
+                    # execution (review r5: TimeoutExpired was uncaught)
+                    try:
+                        out = subprocess.run(
+                            cmd, capture_output=True, text=True, timeout=3600,
+                        )
+                    except subprocess.TimeoutExpired:
+                        print(json.dumps({
+                            "spec": spec, "window_failed": True,
+                            "timeout_s": 3600,
+                        }), flush=True)
+                        continue
                 finally:
                     rate = _stop_probe(p, ppath)
                 # a crashed/OOM'd worker window must cost one attempt, not
@@ -313,9 +341,25 @@ def main() -> None:
                         "stderr_tail": out.stderr[-500:],
                     }), flush=True)
                     continue
-                r = json.loads(lines[-1])
+                try:
+                    # an OOM-killed worker can die mid-print, leaving a
+                    # truncated '{...' tail line — one attempt, same rule
+                    r = json.loads(lines[-1])
+                except ValueError:
+                    print(json.dumps({
+                        "spec": spec, "window_failed": True,
+                        "bad_json_tail": lines[-1][:200],
+                    }), flush=True)
+                    continue
                 r["steal_jiffies"] = steal() - s0
                 r["probe_rate"] = rate
+                # probe launched but produced no readable rate (died at
+                # startup, bad taskset mask, unreadable file): that is a
+                # PROBE FAILURE and the window cannot claim the machine-
+                # speed gate — only a deliberately-disabled probe
+                # (SCALE_PROBE=0 / no spare core) downgrades the gate to
+                # steal-only, and that is recorded per window (review r5)
+                r["probe_enabled"] = p is not None
                 probe_ref[spec] = max(probe_ref.get(spec, 0.0), rate or 0.0)
                 r["probe_frac"] = (
                     round(rate / probe_ref[spec], 3)
@@ -338,11 +382,7 @@ def main() -> None:
                     x for x in all_runs
                     if x.get("spec") == spec
                     and x["steal_jiffies"] <= CLEAN_STEAL
-                    and (
-                        x["probe_rate"] is None
-                        or ref == 0.0
-                        or x["probe_rate"] / ref >= PROBE_GATE
-                    )
+                    and _probe_ok(x, ref, PROBE_GATE)
                 ]
                 if len(clean) >= CLEAN_K:
                     break
@@ -365,11 +405,7 @@ def main() -> None:
         clean = [
             x for x in level_runs
             if x["steal_jiffies"] <= CLEAN_STEAL
-            and (
-                x["probe_rate"] is None
-                or ref == 0.0
-                or x["probe_rate"] / ref >= PROBE_GATE
-            )
+            and _probe_ok(x, ref, PROBE_GATE)
         ]
         pool = clean or level_runs
         if not pool:

@@ -69,3 +69,29 @@ def test_rejects_bad_seq_len(spark):
 
     with pytest.raises(ValueError):
         pack.pack_plan(_docs(spark, [1]), seq_len=0)
+
+
+def test_duplicate_ids_deterministic(spark):
+    # duplicate ids (review r5): the ROWS cumsum breaks id ties on
+    # n_tokens, so the output MULTISET is deterministic across runs and
+    # partitionings — remaining ties are rows identical in every
+    # projected column, interchangeable by construction
+    rows = [(i % 5, " ".join(["w"] * n))
+            for i, n in enumerate([4, 7, 3, 9, 2, 11, 4, 6, 5, 8])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = None
+    for par in (2, 3, 7):
+        plan = pack.pack_plan(df, seq_len=8, n_partitions=par)
+        got = sorted(tuple(r) for r in plan.collect())
+        if base is None:
+            base = got
+        else:
+            assert got == base, f"partition count {par} changed the packing"
+    # reference: cumsum over (id, n_tokens) order
+    counts = sorted((i % 5, len(t.split())) for i, t in
+                    ((i, r[1]) for i, r in enumerate(rows)))
+    run, exp = 0, []
+    for i, n in enumerate(counts):
+        exp.append((n[0], n[1], run))
+        run += n[1]
+    assert sorted((r[0], r[1], r[2]) for r in base) == sorted(exp)

@@ -68,3 +68,17 @@ def test_soft_dedup_composition(spark):
     kept = sample.weighted_sample(w, "weight", id_col="id", salt="s")
     # binomial(4000, .25): mean 1000, ±5 sigma ≈ ±137
     assert abs(kept.count() - N / 4) < 140
+
+
+def test_weighted_sample_rejects_bad_weights(spark):
+    # per-row execution-time validation (review r5): a corrupted weight
+    # column must raise, not silently drop (negative) or always-keep
+    # (>1) — and a null weight must not silently filter out its row
+    base = _ids(spark, n=10, par=2)
+    for bad in (-0.5, 1.5, float("nan"), None):
+        df = base.withColumn("weight", F.lit(bad).cast("double"))
+        with pytest.raises(Exception, match="weighted_sample"):
+            sample.weighted_sample(df, "weight", id_col="doc_id").collect()
+    # valid weights still work through the checked expression
+    ok = base.withColumn("weight", F.lit(1.0))
+    assert sample.weighted_sample(ok, "weight", id_col="doc_id").count() == 10

@@ -80,10 +80,13 @@ def containment_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         oa = np.concatenate(([0], np.cumsum(la)))
         ob = np.concatenate(([0], np.cumsum(lb)))
         cnt = np.zeros(n, dtype=np.float64)
+        # no pre-sort: intersect1d concatenates and sorts internally
+        # regardless of input order, so sorting here would be two extra
+        # O(L log L) passes per pair for nothing (review r5)
         for i in np.flatnonzero(mask):
-            sa = np.sort(ca[oa[i]:oa[i + 1]])
-            sb = np.sort(cb[ob[i]:ob[i + 1]])
-            cnt[i] = np.intersect1d(sa, sb, assume_unique=True).size
+            cnt[i] = np.intersect1d(
+                ca[oa[i]:oa[i + 1]], cb[ob[i]:ob[i + 1]], assume_unique=True
+            ).size
         denom = np.minimum(la, lb).astype(np.float64)
         denom[denom == 0] = 1.0
         out = np.where(mask, cnt / denom, out)

@@ -78,12 +78,17 @@ def pack_plan(
     )
     # explicit ROWS frame: the orderBy default is a RANGE frame, which
     # would lump duplicate ids into one cumsum step; ROWS matches the
-    # oracle's `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`
+    # oracle's `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`.
+    # n_tokens is the tiebreak for DUPLICATE ids: a ROWS frame over an
+    # id-only order is nondeterministic across runs when ids repeat
+    # (and the oracle would pick its own tie order); with (id, n_tokens)
+    # the remaining ties are rows identical in every projected column,
+    # so any tie order yields the same output multiset
     cum = ranged.withColumn(
         "cum_in_part",
         F.sum("n_tokens").over(
             Window.partitionBy("pid")
-            .orderBy("id")
+            .orderBy("id", "n_tokens")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

@@ -431,7 +431,12 @@ def cross_prefix_edges(
 
             return route
 
-        routed = news.mapInPandas(_make_route(bc), route_schema)
+        # pin: `routed` is consumed twice (touched-slice collect, then
+        # the merged scan) — without the pin the mapInPandas routing
+        # pass and the new-batch read run twice per chain day
+        routed = news.mapInPandas(_make_route(bc), route_schema).localCheckpoint(
+            eager=True
+        )
         touched = [r.slice for r in routed.select("slice").distinct().collect()]
         if not touched:
             continue

@@ -58,8 +58,26 @@ def weighted_sample(
     salt: str = "",
 ) -> DataFrame:
     """Keep each row with probability = its per-row weight in [0, 1]
-    (e.g. soft_dedup_weights' 1/cluster-size)."""
-    thresh = (F.col(weight_col).cast("double") * F.lit(float(_SCALE))).cast("long")
+    (e.g. soft_dedup_weights' 1/cluster-size).
+
+    Weights are validated PER ROW at execution time: a null / NaN /
+    out-of-range weight (e.g. from a corrupted upstream join) raises
+    instead of silently dropping or always-keeping the row — the same
+    loud contract the constant-fraction samplers enforce at plan time.
+    The check lives inside the threshold expression (not a separate
+    assert column) so column pruning cannot eliminate it."""
+    w = F.col(weight_col).cast("double")
+    bad = w.isNull() | F.isnan(w) | (w < 0.0) | (w > 1.0)
+    checked = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_sample: {weight_col!r} must be in [0, 1], got "),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(w)
+    thresh = (checked * F.lit(float(_SCALE))).cast("long")
     return df.filter(uniform_hash60(id_col, salt) < thresh)
 
 
