@@ -963,6 +963,32 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` JSON column:
+    ``from_json`` compiles to the JVM JsonToStructs expression inside
+    whole-stage codegen, so extraction + aggregation is one scan and one
+    exchange — the shape of WARC/crawl-metadata sidecar parsing in a
+    web-scale pipeline (no Python in the loop, filter/prune still push
+    to the parquet scan).  A malformed/missing key yields NULL (counted
+    separately via n_with_k), never a job failure.  All aggregates are
+    exact integers so the driver value-hash is summation-order-free."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count_distinct(
+                F.when(F.col("k") >= 50, F.col("user_id"))
+            ).cast("long").alias("n_users_highk"),
+        )
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user: window lag +
     cumulative session counter."""
@@ -1064,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "bpe_token_counts": q_bpe_token_counts,
+        "events_json_stats": q_events_json_stats,
         "events_hourly": q_events_hourly,
         "events_rollup": q_events_rollup,
         "events_sessions": q_events_sessions,
@@ -1647,6 +1674,21 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value::DECIMAL(28,6)), 4)::DOUBLE AS sum_value
         FROM events
         GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+    """
+
+    sql["events_json_stats"] = """
+        WITH k AS (
+          SELECT event_type, user_id, CAST(props->>'k' AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               count(*)::BIGINT AS n_events,
+               count(k)::BIGINT AS n_with_k,
+               sum(k)::BIGINT AS sum_k,
+               max(k)::BIGINT AS max_k,
+               count(DISTINCT CASE WHEN k >= 50 THEN user_id END)::BIGINT
+                 AS n_users_highk
+        FROM k GROUP BY event_type
     """
 
     sql["events_sessions"] = """

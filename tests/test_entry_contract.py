@@ -21,6 +21,7 @@ SUBSET = [
     "doc_fingerprint",
     "events_hourly",
     "events_rollup",
+    "events_json_stats",
     "find_top_unique",
     "revenue_by_nation",
     "span_dup_stats",
