@@ -862,6 +862,44 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality evaluation: exact top-5 neighbors for a
+    deterministic query subset, then per-query-label counts of how many
+    neighbors share the label (kNN purity — the standard label-noise /
+    embedding-quality probe a training-data pipeline runs before
+    trusting semantic dedup or curriculum sampling on a new encoder).
+    Composition of already-green pieces: brute_force_topk (broadcast
+    small-query GEMM, the same machinery as ann_topk) + a broadcast
+    label join + an exact-integer aggregate, so the driver value-hash
+    carries no float columns."""
+    from wdedup_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    topk = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    lab = emb.select("vec_id", "label")
+    return (
+        topk.join(
+            F.broadcast(lab.withColumnRenamed("vec_id", "query_id")
+                        .withColumnRenamed("label", "q_label")),
+            "query_id",
+        )
+        .join(
+            F.broadcast(lab.withColumnRenamed("vec_id", "neighbor_id")
+                        .withColumnRenamed("label", "n_label")),
+            "neighbor_id",
+        )
+        .groupBy(F.col("q_label").cast("int").alias("label"))
+        .agg(
+            F.count_distinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)
+            ).cast("long").alias("n_label_matches"),
+        )
+    )
+
+
 def q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k in its exact-degradation mode (VERDICT r3 #2): with
     ``n_probe == n_lists`` every inverted list is probed, so the result is
@@ -1087,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "ann_topk": q_ann_topk,
         "ivf_topk_exact": q_ivf_topk_exact,
+        "knn_label_purity": q_knn_label_purity,
         "lsh_topk": q_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1608,6 +1647,27 @@ def oracle_sql() -> dict[str, str]:
     # IVF at n_probe == n_lists is exact brute force (tests pin the
     # degradation), so it shares ann_topk's all-pairs oracle
     sql["ivf_topk_exact"] = sql["ann_topk"]
+
+    # same exact-cosine ranking CTE as ann_topk (100-query subset),
+    # joined back to labels; purity aggregates are exact integers
+    sql["knn_label_purity"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS q_label
+                   FROM embeddings WHERE vec_id < 100),
+        scored AS (
+          SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+                 list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS score
+          FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, q_label, neighbor_id, n_label,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT q_label::INT AS label,
+               count(DISTINCT query_id)::BIGINT AS n_queries,
+               count(*)::BIGINT AS n_neighbors,
+               sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)::BIGINT AS n_label_matches
+        FROM ranked WHERE rank <= 5 GROUP BY q_label
+    """
 
     # Multi-probe hyperplane LSH with md5-derived ±1 planes
     # (ann.md5_planes): DuckDB rebuilds the plane matrix from md5,

@@ -76,6 +76,7 @@ HEADLINE = [
     "embedding_dup_pairs",
     "ann_topk",
     "ivf_topk_exact",
+    "knn_label_purity",
     "events_json_stats",
     "events_hourly",
     "events_rollup",

@@ -22,6 +22,7 @@ SUBSET = [
     "events_hourly",
     "events_rollup",
     "events_json_stats",
+    "knn_label_purity",
     "find_top_unique",
     "revenue_by_nation",
     "span_dup_stats",
