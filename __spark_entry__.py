@@ -1001,6 +1001,35 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary analysis: the 10 most frequent terms per source
+    (boilerplate / vocab-drift detection in corpus curation).  Same
+    whitespace tokenization as the green word_profile pair, one
+    map-side-partial count aggregate, then operators/topk.grouped_topk
+    — skew-safe because Catalyst plans the rank filter as a map-side
+    partial WindowGroupLimit before the exchange, so a hot source's
+    whole vocabulary never sorts in one task (plan shape pinned in
+    tests/test_topk.py; lemma in topk.py's module docstring).  Ties at
+    the k-boundary are broken by word ascending on both engines, so
+    the result is deterministic."""
+    from wdedup_spark.operators.topk import grouped_topk
+    from wdedup_spark.operators.wdedup import WHITESPACE_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), WHITESPACE_RE)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return grouped_topk(
+        counts, ["source"], [F.desc("n"), F.asc("word")], k=10
+    )
+
+
 def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read over the semi-structured ``props`` JSON column:
     ``from_json`` compiles to the JVM JsonToStructs expression inside
@@ -1108,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "top_terms_by_source": q_top_terms_by_source,
         "pii_redact": q_pii_redact,
         "pack_plan": q_pack_plan,
         "mixture_sample": q_mixture_sample,
@@ -1734,6 +1764,22 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value::DECIMAL(28,6)), 4)::DOUBLE AS sum_value
         FROM events
         GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+    """
+
+    sql["top_terms_by_source"] = r"""
+        WITH words AS (
+          SELECT source, unnest(string_split_regex(text, '\s+')) AS word
+          FROM documents
+        ), counts AS (
+          SELECT source, word, count(*)::BIGINT AS n
+          FROM words WHERE word <> '' GROUP BY source, word
+        ), ranked AS (
+          SELECT source, word, n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, word) AS rnk
+          FROM counts
+        )
+        SELECT source, word, n, rnk::INT AS rnk FROM ranked WHERE rnk <= 10
     """
 
     sql["events_json_stats"] = """

@@ -59,6 +59,7 @@ HEADLINE = [
     "edit_dup_pairs",
     "cosine_highsim_pairs",
     "token_stats",
+    "top_terms_by_source",
     "pii_redact",
     "pack_plan",
     "mixture_sample",

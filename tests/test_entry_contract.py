@@ -23,6 +23,7 @@ SUBSET = [
     "events_rollup",
     "events_json_stats",
     "knn_label_purity",
+    "top_terms_by_source",
     "find_top_unique",
     "revenue_by_nation",
     "span_dup_stats",
