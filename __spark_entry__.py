@@ -1782,9 +1782,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, word, n, rnk::INT AS rnk FROM ranked WHERE rnk <= 10
     """
 
+    # the json_type guard mirrors Spark's strict from_json typing on
+    # adversarial data (quoted "87" / 1.5 / malformed JSON -> NULL both
+    # engines, where a bare CAST(props->>'k') would coerce or error);
+    # a no-op on the generator's always-valid integer props
     sql["events_json_stats"] = """
         WITH k AS (
-          SELECT event_type, user_id, CAST(props->>'k' AS BIGINT) AS k
+          SELECT event_type, user_id,
+                 CASE WHEN json_valid(props)
+                           AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                      THEN CAST(props->>'k' AS BIGINT) END AS k
           FROM events
         )
         SELECT event_type,

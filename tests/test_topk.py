@@ -87,9 +87,29 @@ def test_plan_has_partial_window_group_limit(spark):
     plan = grouped_topk(
         df, ["grp"], [F.desc("n"), F.asc("cand")], 5
     )._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan, plan
+    lines = plan.splitlines()
+    # the map-side bound specifically: a PARTIAL WindowGroupLimit BELOW
+    # (after, in toString order) the grp exchange — a Final-only
+    # instance above the exchange would pass a bare substring check
+    # while the hot-group shuffle bound it documents is gone
+    exchange_at = next(
+        i for i, ln in enumerate(lines)
+        if "Exchange hashpartitioning(grp" in ln
+    )
+    assert any(
+        "WindowGroupLimit" in ln and "Partial" in ln
+        for ln in lines[exchange_at + 1:]
+    ), plan
 
 
 def test_rejects_nonpositive_k(spark):
     with pytest.raises(ValueError):
         grouped_topk(_agg(spark, [("g", "c", 1)], 1), ["grp"], ["n"], 0)
+
+
+def test_rejects_rank_col_collision(spark):
+    df = _agg(spark, [("g", "c", 1)], 1).withColumn("rnk", F.lit(9))
+    with pytest.raises(ValueError, match="rank_col"):
+        grouped_topk(df, ["grp"], ["n"], 3)
+    # a different rank_col name on the same frame is fine
+    assert grouped_topk(df, ["grp"], ["n"], 3, rank_col="r2").count() == 1

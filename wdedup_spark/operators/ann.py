@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from wdedup_spark.operators.topk import grouped_topk
+
 
 def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
@@ -59,12 +61,12 @@ def brute_force_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", _cosine(F.col("qvec"), F.col("cvec")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("score", 9).alias("score"), "rank")
-    )
+    # one ranked-top-k contract repo-wide (operators/topk.py): same
+    # window + row_number + filter this function used to hand-roll
+    return grouped_topk(
+        scored, ["query_id"], [F.desc("score"), F.asc("neighbor_id")],
+        k, rank_col="rank",
+    ).select("query_id", "neighbor_id", F.round("score", 9).alias("score"), "rank")
 
 
 def exact_cosine_pairs(

@@ -68,6 +68,12 @@ def grouped_topk(
     (1-based INT) and keeps only ranks ≤ k."""
     if k <= 0:
         raise ValueError(f"grouped_topk: k must be positive, got {k}")
+    if rank_col in df.columns:
+        raise ValueError(
+            f"grouped_topk: rank_col {rank_col!r} already exists in the "
+            f"input — withColumn would silently overwrite it; pass a "
+            f"different rank_col"
+        )
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn(
         rank_col, F.row_number().over(w).cast("int")
