@@ -871,7 +871,12 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition of already-green pieces: brute_force_topk (broadcast
     small-query GEMM, the same machinery as ann_topk) + a broadcast
     label join + an exact-integer aggregate, so the driver value-hash
-    carries no float columns."""
+    carries no float columns.  Caveat shared with the whole ann_topk
+    family: which neighbors sit at the rank-k boundary is decided by
+    unrounded float64 cosines computed by two different engines, so
+    oracle equality rides on the planted margins of the deterministic
+    testdata (holds at every SF shipped; see ann_topk, green since r3,
+    for the precedent)."""
     from wdedup_spark.operators.ann import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
