@@ -498,6 +498,25 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+QUOTA_SALT = "quota-r5"
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota cut (operators/sample.py quota_sample):
+    exactly min(5, |source|) docs per source, chosen by the salted-md5
+    hash order — the hard-count contract (eval-set carving) Bernoulli
+    cannot give, with nesting across k.  Composition of two pinned
+    primitives: uniform_hash60 + topk.grouped_topk.  The oracle
+    replays the identical draw and ranks with the same (hash, id)
+    total order."""
+    from wdedup_spark.operators import sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample.quota_sample(
+        docs, ["source"], k=5, id_col="doc_id", salt=QUOTA_SALT
+    ).select("doc_id", "source")
+
+
 SPAN_TOKENS = 16  # span-dedup window width (tokens), shared with the oracle
 
 
@@ -1146,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pack_plan": q_pack_plan,
         "mixture_sample": q_mixture_sample,
+        "quota_sample": q_quota_sample,
         "span_dup_stats": q_span_dup_stats,
         "span_dedup_docs": q_span_dedup_docs,
         "containment_pairs": q_containment_pairs,
@@ -1383,6 +1403,22 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source FROM u
         WHERE h < CASE source {_mix_case} ELSE {int(0.1 * (1 << 60))} END
+    """
+
+    # exact per-stratum quota: identical draw, ranked by the same
+    # (hash, id) total order
+    sql["quota_sample"] = f"""
+        WITH u AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':{QUOTA_SALT}'), 1, 15))::UBIGINT AS h
+          FROM documents
+        ), r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY h, doc_id) AS rnk
+          FROM u
+        )
+        SELECT doc_id, source FROM r WHERE rnk <= 5
     """
 
     # PII scrub: plant deterministic PII from doc_id (mirroring

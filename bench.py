@@ -63,6 +63,7 @@ HEADLINE = [
     "pii_redact",
     "pack_plan",
     "mixture_sample",
+    "quota_sample",
     "span_dup_stats",
     "span_dedup_docs",
     "prefix_subsumed",

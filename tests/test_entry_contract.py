@@ -24,6 +24,7 @@ SUBSET = [
     "events_json_stats",
     "knn_label_purity",
     "top_terms_by_source",
+    "quota_sample",
     "find_top_unique",
     "revenue_by_nation",
     "span_dup_stats",

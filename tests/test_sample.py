@@ -82,3 +82,35 @@ def test_weighted_sample_rejects_bad_weights(spark):
     # valid weights still work through the checked expression
     ok = base.withColumn("weight", F.lit(1.0))
     assert sample.weighted_sample(ok, "weight", id_col="doc_id").count() == 10
+
+
+def test_quota_sample_exact_counts_and_nesting(spark):
+    # 3 strata with sizes 100, 7, 0-beyond-k; quota must be exactly
+    # min(k, size) per stratum, the set deterministic across
+    # partitionings, and quota-3 nested inside quota-10
+    rows = [(i, "big") for i in range(100)] + \
+           [(1000 + i, "small") for i in range(7)]
+    base = spark.createDataFrame(rows, "doc_id long, source string")
+    for par in (2, 9):
+        df = base.repartition(par)
+        got10 = sample.quota_sample(df, ["source"], 10, salt="q").collect()
+        by = {}
+        for r in got10:
+            by.setdefault(r.source, set()).add(r.doc_id)
+        assert len(by["big"]) == 10 and len(by["small"]) == 7
+        got3 = {r.doc_id for r in
+                sample.quota_sample(df, ["source"], 3, salt="q").collect()}
+        assert len(got3) == 6  # 3 + 3
+        assert got3 <= (by["big"] | by["small"])  # nesting
+    # a different salt draws a different big-stratum set
+    alt = {r.doc_id for r in
+           sample.quota_sample(base, ["source"], 10, salt="z").collect()
+           if r.source == "big"}
+    assert alt != by["big"]
+
+
+def test_quota_sample_rejects_reserved_columns(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string") \
+              .withColumn("_qs_h", F.lit(0))
+    with pytest.raises(ValueError, match="_qs_h"):
+        sample.quota_sample(df, ["source"], 2)

@@ -101,3 +101,34 @@ def stratified_sample(
     for k, v in fracs.items():
         thresh = F.when(F.col(strata_col) == k, F.lit(int(v * _SCALE))).otherwise(thresh)
     return df.filter(uniform_hash60(id_col, salt) < thresh)
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum — the hard-count
+    contract Bernoulli sampling cannot give (binomial counts), needed
+    for eval-set carving and per-source caps.  The kept set is the
+    first k rows of each stratum in the deterministic (id, salt) hash
+    order, so it inherits every property above (reproducible anywhere,
+    consistent across tables at the same salt) plus NESTING: the
+    quota-j set is a subset of the quota-k set for j <= k, letting a
+    pipeline grow an eval set without resampling.  Composition of two
+    pinned primitives: uniform_hash60 order + topk.grouped_topk (whose
+    map-side WindowGroupLimit bounds a hot stratum's shuffle).  Hash
+    collisions tie-break on id, keeping the order total."""
+    from wdedup_spark.operators.topk import grouped_topk
+
+    if "_qs_h" in df.columns or "_qs_rnk" in df.columns:
+        raise ValueError("quota_sample: input already carries _qs_h/_qs_rnk")
+    return grouped_topk(
+        df.withColumn("_qs_h", uniform_hash60(id_col, salt)),
+        strata_cols,
+        [F.asc("_qs_h"), F.asc(id_col)],
+        k,
+        rank_col="_qs_rnk",
+    ).drop("_qs_h", "_qs_rnk")
