@@ -498,6 +498,23 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+CHUNK_W, CHUNK_S = 32, 24  # chunk window / stride (tokens), shared with oracle
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding-window chunking (operators/pack.chunk_docs):
+    32-token windows every 24 tokens (8-token overlap) — RAG/embedding
+    prep, the within-document counterpart of pack_plan's cross-document
+    concat-and-chunk.  All-JVM narrow plan (split/sequence/slice/
+    explode fused into the scan), no shuffle.  Exact strings/ints only."""
+    from wdedup_spark.operators.pack import chunk_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_docs(docs, CHUNK_W, CHUNK_S).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "n_tokens", "chunk_text"
+    )
+
+
 QUOTA_SALT = "quota-r5"
 
 
@@ -1166,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_plan": q_pack_plan,
         "mixture_sample": q_mixture_sample,
         "quota_sample": q_quota_sample,
+        "chunk_docs": q_chunk_docs,
         "span_dup_stats": q_span_dup_stats,
         "span_dedup_docs": q_span_dedup_docs,
         "containment_pairs": q_containment_pairs,
@@ -1403,6 +1421,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source FROM u
         WHERE h < CASE source {_mix_case} ELSE {int(0.1 * (1 << 60))} END
+    """
+
+    # sliding-window chunking: same tokenization as the words CTE,
+    # 1-based list slices on both engines; W/S from the shared constants
+    sql["chunk_docs"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, toks,
+                 unnest(range(((len(toks) - 1) // {CHUNK_S}) + 1)) AS chunk_idx
+          FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               chunk_idx::INT AS chunk_idx,
+               len(toks[chunk_idx * {CHUNK_S} + 1 :
+                        chunk_idx * {CHUNK_S} + {CHUNK_W}])::BIGINT AS n_tokens,
+               array_to_string(toks[chunk_idx * {CHUNK_S} + 1 :
+                                    chunk_idx * {CHUNK_S} + {CHUNK_W}], ' ')
+                 AS chunk_text
+        FROM c
     """
 
     # exact per-stratum quota: identical draw, ranked by the same

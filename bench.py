@@ -64,6 +64,7 @@ HEADLINE = [
     "pack_plan",
     "mixture_sample",
     "quota_sample",
+    "chunk_docs",
     "span_dup_stats",
     "span_dedup_docs",
     "prefix_subsumed",

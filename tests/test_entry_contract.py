@@ -25,6 +25,7 @@ SUBSET = [
     "knn_label_purity",
     "top_terms_by_source",
     "quota_sample",
+    "chunk_docs",
     "find_top_unique",
     "revenue_by_nation",
     "span_dup_stats",

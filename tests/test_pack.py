@@ -4,6 +4,7 @@ boundaries (the distributed-prefix-sum correctness claim)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from wdedup_spark.operators import pack
@@ -95,3 +96,30 @@ def test_duplicate_ids_deterministic(spark):
         exp.append((n[0], n[1], run))
         run += n[1]
     assert sorted((r[0], r[1], r[2]) for r in base) == sorted(exp)
+
+
+def test_chunk_docs_windows(spark):
+    from wdedup_spark.operators.pack import chunk_docs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, ""), (4, "  p  q  ")],
+        "doc_id long, text string",
+    )
+    got = sorted(tuple(r) for r in chunk_docs(df, 4, 3).collect())
+    assert got == [
+        (1, 0, 4, "a b c d"), (1, 1, 4, "d e f g"), (1, 2, 1, "g"),
+        (2, 0, 1, "x"), (4, 0, 2, "p q"),
+    ]
+    # stride defaults to chunk (disjoint windows, no overlap)
+    disjoint = sorted(tuple(r) for r in chunk_docs(df, 3).collect()
+                      if r.id == 1)
+    assert disjoint == [(1, 0, 3, "a b c"), (1, 1, 3, "d e f"), (1, 2, 1, "g")]
+
+
+def test_chunk_docs_rejects_bad_params(spark):
+    from wdedup_spark.operators.pack import chunk_docs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for ct, st in ((0, None), (4, 0), (4, 5), (4, -1)):
+        with pytest.raises(ValueError):
+            chunk_docs(df, ct, st)

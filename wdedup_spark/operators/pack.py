@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from wdedup_spark.functions.text import token_count
+from wdedup_spark.operators.wdedup import WHITESPACE_RE
 
 
 def pack_plan(
@@ -160,4 +161,64 @@ def pack_stats(plan: DataFrame, seq_len: int) -> DataFrame:
             ),
             F.lit(0.0),
         ).alias("straddle_frac"),
+    )
+
+
+def chunk_docs(
+    df: DataFrame,
+    chunk_tokens: int,
+    stride_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking — the RAG/embedding-prep
+    counterpart of pack_plan: pack_plan concatenates ACROSS documents
+    (training streams), chunk_docs windows WITHIN each document
+    (``chunk_tokens``-token windows every ``stride_tokens`` tokens,
+    overlap = chunk - stride).  → (id, chunk_idx, n_tokens, chunk_text);
+    zero-token documents yield zero chunks; the final windows are short
+    rather than padded.
+
+    Scale shape: narrow throughout — split/sequence/transform/explode
+    are all JVM Column expressions fused into the scan projection, no
+    shuffle, no Python.  Chunk count per doc is ceil(n/stride), so
+    output size is bounded by (1 + chunk/stride)x the corpus — the
+    caller picks the overlap and owns that constant.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    stride = chunk_tokens if stride_tokens is None else stride_tokens
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"stride_tokens must be in (0, chunk_tokens], got {stride}"
+        )
+    toks = F.filter(
+        F.split(F.col(text_col), WHITESPACE_RE), lambda t: t != ""
+    )
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... while start < n
+    idxs = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            F.explode(idxs).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.slice(
+                F.col("_toks"),
+                F.col("chunk_idx") * stride + 1,
+                chunk_tokens,
+            ).alias("_w"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.size("_w").cast("long").alias("n_tokens"),
+            F.array_join("_w", " ").alias("chunk_text"),
+        )
     )
