@@ -1433,7 +1433,9 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), c AS (
           SELECT doc_id, toks,
-                 unnest(range(((len(toks) - 1) // {CHUNK_S}) + 1)) AS chunk_idx
+                 unnest(range(CASE WHEN len(toks) > {CHUNK_W}
+                              THEN ((len(toks) - {CHUNK_W} - 1) // {CHUNK_S}) + 2
+                              ELSE 1 END)) AS chunk_idx
           FROM t WHERE len(toks) > 0
         )
         SELECT doc_id,

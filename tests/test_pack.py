@@ -106,9 +106,19 @@ def test_chunk_docs_windows(spark):
         "doc_id long, text string",
     )
     got = sorted(tuple(r) for r in chunk_docs(df, 4, 3).collect())
+    # window 1 ("d e f g") reaches doc 1's end, so the start-6 window
+    # ("g", a strict subset of it) is never emitted (review r5)
     assert got == [
-        (1, 0, 4, "a b c d"), (1, 1, 4, "d e f g"), (1, 2, 1, "g"),
+        (1, 0, 4, "a b c d"), (1, 1, 4, "d e f g"),
         (2, 0, 1, "x"), (4, 0, 2, "p q"),
+    ]
+    # a token past the covering window resurrects the third chunk with
+    # only genuinely new content at its end
+    df8 = spark.createDataFrame([(1, "a b c d e f g h")],
+                                "doc_id long, text string")
+    got8 = sorted(tuple(r) for r in chunk_docs(df8, 4, 3).collect())
+    assert got8 == [
+        (1, 0, 4, "a b c d"), (1, 1, 4, "d e f g"), (1, 2, 2, "g h"),
     ]
     # stride defaults to chunk (disjoint windows, no overlap)
     disjoint = sorted(tuple(r) for r in chunk_docs(df, 3).collect()

@@ -114,3 +114,16 @@ def test_quota_sample_rejects_reserved_columns(spark):
               .withColumn("_qs_h", F.lit(0))
     with pytest.raises(ValueError, match="_qs_h"):
         sample.quota_sample(df, ["source"], 2)
+
+
+def test_quota_sample_drops_null_ids(spark):
+    # review r5: NULL ids hash to NULL (Spark sorts NULLS FIRST, DuckDB
+    # LAST, and NULL keys break the total order among themselves) —
+    # quota_sample must drop them, like the threshold samplers do
+    rows = [(i, "a") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").union(
+        spark.sql("SELECT CAST(NULL AS LONG) doc_id, 'a' source "
+                  "FROM range(5)")
+    )
+    got = sample.quota_sample(df, ["source"], 8, salt="n").collect()
+    assert len(got) == 8 and all(r.doc_id is not None for r in got)

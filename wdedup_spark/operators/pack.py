@@ -41,8 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from wdedup_spark.functions.text import token_count
-from wdedup_spark.operators.wdedup import WHITESPACE_RE
+from wdedup_spark.functions.text import token_count, tokens
 
 
 def pack_plan(
@@ -177,7 +176,12 @@ def chunk_docs(
     (``chunk_tokens``-token windows every ``stride_tokens`` tokens,
     overlap = chunk - stride).  → (id, chunk_idx, n_tokens, chunk_text);
     zero-token documents yield zero chunks; the final windows are short
-    rather than padded.
+    rather than padded; a window whose content is fully covered by its
+    predecessor (start beyond the last window that reaches the doc end)
+    is never emitted — it would be pure duplicate embedding compute
+    (review r5).  Tokenization is functions.text.tokens — the SAME
+    expression pack_plan's token_count counts, so chunks and packing
+    can never desynchronize.
 
     Scale shape: narrow throughout — split/sequence/transform/explode
     are all JVM Column expressions fused into the scan projection, no
@@ -192,13 +196,17 @@ def chunk_docs(
         raise ValueError(
             f"stride_tokens must be in (0, chunk_tokens], got {stride}"
         )
-    toks = F.filter(
-        F.split(F.col(text_col), WHITESPACE_RE), lambda t: t != ""
-    )
+    toks = tokens(F.col(text_col))
     n = F.size(toks)
-    # window starts: 0, stride, 2*stride, ... while start < n
+    # window starts 0, stride, 2*stride, ...; the last emitted index is
+    # the first window that reaches the doc end (ceil((n-W)/stride) for
+    # n > W, else 0) — later starts would be strict subsets of it
+    last_idx = F.when(
+        n > chunk_tokens,
+        (F.floor((n - chunk_tokens - 1) / stride) + 1).cast("int"),
+    ).otherwise(F.lit(0))
     idxs = F.when(
-        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+        n > 0, F.sequence(F.lit(0), last_idx)
     ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(

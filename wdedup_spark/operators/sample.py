@@ -125,8 +125,14 @@ def quota_sample(
 
     if "_qs_h" in df.columns or "_qs_rnk" in df.columns:
         raise ValueError("quota_sample: input already carries _qs_h/_qs_rnk")
+    # NULL ids hash to NULL, which Spark's ASC sorts FIRST (DuckDB: LAST)
+    # and which breaks the total order among themselves — drop them, the
+    # same outcome the threshold samplers reach implicitly (NULL < t is
+    # never true).  Review r5: without this, dirty ids silently filled
+    # quotas nondeterministically.
     return grouped_topk(
-        df.withColumn("_qs_h", uniform_hash60(id_col, salt)),
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("_qs_h", uniform_hash60(id_col, salt)),
         strata_cols,
         [F.asc("_qs_h"), F.asc(id_col)],
         k,
