@@ -133,3 +133,40 @@ def test_chunk_docs_rejects_bad_params(spark):
     for ct, st in ((0, None), (4, 0), (4, 5), (4, -1)):
         with pytest.raises(ValueError):
             chunk_docs(df, ct, st)
+
+
+def test_chunk_docs_invariants_grid(spark):
+    """Invariant sweep across doc lengths 0..40 x three (W, S) configs:
+    (1) chunk_idx is contiguous from 0; (2) the windows cover every
+    token exactly once per stride step (union of [iS, iS+len_i) =
+    [0, n)); (3) no window is fully covered by its predecessor;
+    (4) for S == W the chunks concatenate back to the token stream."""
+    from wdedup_spark.operators.pack import chunk_docs
+
+    docs = [(n, " ".join(f"t{j}" for j in range(n))) for n in range(41)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for w, s in ((4, 3), (5, 5), (7, 2)):
+        rows = chunk_docs(df, w, s).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.id, []).append(r)
+        assert 0 not in by_doc  # zero-token doc -> zero chunks
+        for n in range(1, 41):
+            chunks = sorted(by_doc[n], key=lambda r: r.chunk_idx)
+            assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+            covered = set()
+            prev_end = None
+            for c in chunks:
+                start = c.chunk_idx * s
+                toks = c.chunk_text.split()
+                assert c.n_tokens == len(toks) <= w
+                assert toks == [f"t{j}" for j in range(start, start + len(toks))]
+                end = start + len(toks)
+                if prev_end is not None:
+                    assert end > prev_end, (n, w, s, c.chunk_idx)
+                prev_end = end
+                covered.update(range(start, end))
+            assert covered == set(range(n)), (n, w, s)
+            if s == w:
+                flat = [t for c in chunks for t in c.chunk_text.split()]
+                assert flat == [f"t{j}" for j in range(n)]
