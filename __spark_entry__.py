@@ -34,6 +34,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Fan a small scan out across the cluster before CPU-heavy map work
+    (r6, guide §2.5 input skew).  Parquet splits only at ROW-GROUP
+    boundaries: a single-row-group file emits every row from one task no
+    matter the byte-split config, which serialized the whole sign /
+    shingle / feature side of the engine onto one core (measured at
+    sf1.0: the fused sign kernel 4.5 s wall vs ~0.15 s of per-core CPU).
+    One round-robin exchange of the raw rows fixes it — the same
+    repartition-before-sign move plans/pipeline.py has always made.
+
+    Size-gated so it disappears at scale: inputs large enough to carry
+    >= parallelism splits (estimated plan size > parallelism ×
+    maxPartitionBytes) already scan wide, and re-shuffling a 100 TB
+    corpus to "fan it out" would be pure waste — those return unchanged.
+    """
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        max_pb = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .lower().replace("m", "000000").replace("g", "000000000")
+        )
+    except Exception:  # stats unavailable → assume small (bench tables)
+        size, max_pb = 0, 1
+    if size > dp * max_pb:
+        return df
+    return df.repartition(dp)
+
+
 # --------------------------------------------------------------------------
 # wdedup word semantics (SURVEY.md §2 O2/O4/O6/O9/O10)
 # --------------------------------------------------------------------------
@@ -41,7 +73,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q_word_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wdedup_spark.operators import wdedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return wdedup.word_profile(wdedup.tokenize(docs)).select(
         "word", F.col("n").cast("long").alias("n"), F.col("first_ord").alias("first_ord")
     )
@@ -52,7 +84,7 @@ def q_find_first_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference prints \"\" then, src/wfindfirst.cpp:44,59)."""
     from wdedup_spark.operators import wdedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return wdedup.word_dedup_pipeline(docs)
 
 
@@ -63,7 +95,7 @@ def q_find_top_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     per word."""
     from wdedup_spark.operators import wdedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return wdedup.find_top_unique(
         wdedup.word_profile(wdedup.tokenize(docs)), n=10
     )
@@ -73,7 +105,7 @@ def q_singular_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 singleton filter over the word profile."""
     from wdedup_spark.operators import wdedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return wdedup.singular_filter(wdedup.word_profile(wdedup.tokenize(docs))).select(
         "word", "first_ord"
     )
@@ -86,7 +118,7 @@ def q_singular_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wdedup_spark.operators.exact import exact_dup_clusters
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return (
         exact_dup_clusters(docs, "text", "doc_id")
         .select(
@@ -104,7 +136,7 @@ def _signed_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     from wdedup_spark.operators.lsh import minhash_lsh_candidates
     from wdedup_spark.operators.minhash import add_signatures
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _fan(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
     )
     # fused kernel: shingles + MinHash in one tokenization pass; checkpoint
@@ -237,7 +269,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB reproduces the bit majorities bit-for-bit."""
     from wdedup_spark.operators.simhash import simhash_candidates
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _fan(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
     )
     return simhash_candidates(
@@ -258,7 +290,7 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands SQL."""
     from wdedup_spark.operators.substring import substring_candidates
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _fan(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
     )
     return substring_candidates(
@@ -318,6 +350,46 @@ def q_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_DIM = 2048
 
 
+def _hist_udf(col):
+    """array<int> of (possibly repeated) bucket ids → struct of (sorted
+    distinct buckets, occurrence counts) — the per-doc sparse histogram,
+    computed whole-batch with one lexsort (r6; no per-doc Python loop)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<bkts:array<int>, cs:array<double>>")
+    def _hist(bs: pd.Series) -> pd.DataFrame:
+        n = len(bs)
+        if n == 0:
+            return pd.DataFrame({"bkts": [], "cs": []})
+        lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=n)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in bs])
+            if off[-1]
+            else np.empty(0, dtype=np.int64)
+        )
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        order = np.lexsort((flat, doc_of))
+        g, d = flat[order], doc_of[order]
+        keep = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            keep[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(keep)
+        cnts = np.diff(np.append(starts, len(g)))
+        so = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(d[starts], minlength=n).astype(np.int64), out=so[1:])
+        return pd.DataFrame(
+            {
+                "bkts": np.split(g[starts].astype(np.int32), so[1:-1]),
+                "cs": np.split(cnts.astype(np.float64), so[1:-1]),
+            }
+        )
+
+    return _hist(col)
+
+
 def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sub-quadratic embedding dedup path (ann.lsh_cosine_pairs),
     driver-visible at a HIGH threshold — the 100-TB configuration, unlike
@@ -328,44 +400,49 @@ def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table (dim 2048, bucket = md5(shingle) mod 2048), entirely
     JVM-side, so DuckDB mirrors them bit-for-bit.  The data separates
     cleanly at 0.9: planted near-dups sit at cosine >= 0.94, the best
-    unrelated pair at <= 0.22 (hash-collision noise), so LSH recall at 10
-    bits × 64 tables with a >= 3-collision floor (per-pair miss ~3e-7 at
-    0.94, where expected collisions are ~20 of 64) makes the output equal
-    to the all-pairs oracle AT THE TESTED scale factors and seed — the
-    equality is probabilistic and data-dependent (it rides on the planted
-    separation), not an invariant of the operator; different data or a
-    shrunk table config must re-derive the miss bound.  The floor is the
-    cost control: each verified candidate ships two dense dim-2048
-    vectors through the join, and background pairs (cosine ~0.1-0.2)
-    collide in SOME table at rate ~n_tables·p^10 — requiring 3 distinct
-    collisions suppresses that noise ~cubically (measured at sf0.1: 97 s
-    -> seconds).
+    unrelated pair at <= 0.22 (hash-collision noise).  Table geometry
+    (r6): 13 bits × 128 tables with a >= 3-collision floor.  Recall is
+    sized at the THRESHOLD itself, not just the planted margin: a pair
+    at exactly cosine 0.90 has per-plane agreement p = 1 − θ/π ≈ 0.857,
+    expected collisions λ = 128·p^13 ≈ 17.1, so P[< 3 collisions] ≈
+    6e-6 — and ≈ 4e-10 at the planted 0.94 (the r5 geometry, 10 bits ×
+    64 tables, bounded 1.4e-4 at the boundary and 3e-7 at 0.94).  As
+    before the oracle equality is probabilistic and data-dependent;
+    different data or a shrunk config must re-derive the miss bound.
+    The geometry is also the COST control: junk pair expansion scales
+    with n_tables · n²/2^n_bits, so 13/128 generates ~4.7× fewer
+    within-bucket pair rows than 10/64 (measured at sf1.0: 91.5M → 19M
+    rows into the collision-count aggregate), and the 3-collision floor
+    keeps background pairs (cosine ~0.1-0.2) out of the verify join
+    (λ_junk ≈ 0.03 → P[>=3] ~ 1e-5).
     """
     from wdedup_spark.operators.ann import lsh_cosine_pairs_sparse
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     tok_df = docs.select("doc_id", _tokens_expr().alias("toks")).filter(
         F.size("toks") > 0
     )
-    # low 11 bits of the big-endian first-8-byte md5 = hex chars 14-16 mod 2048
-    feats = tok_df.select(
-        "doc_id", F.explode(_shingle_expr(F.col("toks"))).alias("g")
+    # NARROW histogram build (r6): the r5 shape exploded every gram
+    # occurrence and ran two corpus-wide aggregations (groupBy(doc,bkt)
+    # count → groupBy(doc) collect_list×2) to assemble per-doc sparse
+    # vectors — but a per-doc histogram is a per-doc fact.  Now the
+    # bucket array is computed in-row (low 11 md5 bits = hex chars 14-16
+    # mod 2048, same expression) and one Arrow kernel produces the
+    # (sorted distinct buckets, counts) pair — zero exchanges before the
+    # checkpoint, identical (bkts, cs) content modulo element order,
+    # which the cosine math never observed.
+    sh_df = tok_df.select("doc_id", _shingle_expr(F.col("toks")).alias("sh"))
+    bkts_all = F.transform(
+        F.col("sh"),
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 14, 3), 16, 10).cast("int"),
+            F.lit(HIST_DIM),
+        ),
     )
-    bkt = F.pmod(F.conv(F.substring(F.md5(F.col("g")), 14, 3), 16, 10).cast("int"), F.lit(HIST_DIM))
-    counts = feats.groupBy("doc_id", bkt.alias("bkt")).agg(
-        F.count(F.lit(1)).cast("double").alias("c")
-    )
-
-    # SPARSE representation end-to-end (ann.lsh_cosine_pairs_sparse): the
-    # dense dim-2048 vectors exist only inside the signature UDF's Arrow
-    # batches — materializing them as a column (r3's design) cost 360 MB
-    # of Arrow serialization consumed three times, which dominated the
-    # query's wall.  The two collect_lists share one aggregate pass so
-    # their element order aligns; checkpointed because the sparse arrays
-    # feed banding + both verify sides.
     vecs = (
-        counts.groupBy("doc_id")
-        .agg(F.collect_list("bkt").alias("bkts"), F.collect_list("c").alias("cs"))
+        sh_df.select("doc_id", bkts_all.alias("bs"))
+        .select("doc_id", _hist_udf(F.col("bs")).alias("h"))
+        .select("doc_id", F.col("h.bkts").alias("bkts"), F.col("h.cs").alias("cs"))
         .localCheckpoint(eager=False)
     )
     # 1e-6 slack: raw cosine in [0.9-1e-6, 0.9) rounds UP to the threshold
@@ -373,7 +450,7 @@ def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_cosine_pairs_sparse(
             vecs, threshold=0.9 - 1e-6, dim=HIST_DIM,
             id_col="doc_id", idx_col="bkts", val_col="cs",
-            n_bits=10, n_tables=64, oversize_policy="all", min_collisions=3,
+            n_bits=13, n_tables=128, oversize_policy="all", min_collisions=3,
         )
         .withColumn("cosine", F.round("cosine", 6))
         .filter(F.col("cosine") >= 0.9)
@@ -392,7 +469,7 @@ def q_cosine_highsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wdedup_spark.functions import text as tx
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         tx.token_count("text").cast("long").alias("n_tokens"),
@@ -405,7 +482,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wdedup_spark.functions import text as tx
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return (
         docs.select(tx.lang_id("text").alias("lang_pred"))
         .groupBy("lang_pred")
@@ -416,7 +493,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wdedup_spark.functions import text as tx
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
@@ -431,7 +508,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern instead of vacuously matching nothing."""
     from wdedup_spark.functions import pii
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     d = F.col("doc_id")
     s = d.cast("string")
     planted = docs.select(
@@ -509,7 +586,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode fused into the scan), no shuffle.  Exact strings/ints only."""
     from wdedup_spark.operators.pack import chunk_docs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return chunk_docs(docs, CHUNK_W, CHUNK_S).select(
         F.col("id").alias("doc_id"), "chunk_idx", "n_tokens", "chunk_text"
     )
@@ -544,7 +621,7 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule at span granularity, src/wfindfirst.cpp:48-57)."""
     from wdedup_spark.operators.spandedup import doc_spans, duplicate_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     spans = doc_spans(docs, "text", "doc_id", mode="window", span_tokens=SPAN_TOKENS)
     return duplicate_spans(spans, min_docs=2).select(
         "span",
@@ -562,7 +639,7 @@ def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean_text = '')."""
     from wdedup_spark.operators.spandedup import remove_duplicate_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return remove_duplicate_spans(
         docs, "text", "doc_id", mode="window", span_tokens=SPAN_TOKENS
     ).select(F.col("id").cast("long").alias("doc_id"), "clean_text")
@@ -736,7 +813,7 @@ def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0
     return contaminated(
-        docs.filter(~is_bench), docs.filter(is_bench), "text", "doc_id", n=DECON_N
+        _fan(docs.filter(~is_bench)), docs.filter(is_bench), "text", "doc_id", n=DECON_N
     ).select(F.col("id").cast("long").alias("doc_id"), "n_hit_grams")
 
 
@@ -746,7 +823,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/quality.py repetition_stats)."""
     from wdedup_spark.operators.quality import repetition_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return repetition_stats(
         docs, "text", "doc_id", n=REP_N, flag_top_frac=REP_FLAG
     ).select(
@@ -843,7 +920,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: words + standalone punctuation as separate
     tokens (regexp extraction, JVM-side)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"), 0)
     return docs.select(
         "doc_id",
@@ -874,7 +951,7 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("application/octet-stream").alias("mime"),
         ).alias("meta"),
     )
-    feats = extract_features(assets, hash_algo="md5")
+    feats = extract_features(_fan(assets), hash_algo="md5")
     return exact_media_dups(feats).select(
         F.col("content_hash").cast("long").alias("content_hash"),
         F.col("rep_id").cast("long").alias("rep_id"),
@@ -1056,7 +1133,7 @@ def q_top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wdedup_spark.operators.topk import grouped_topk
     from wdedup_spark.operators.wdedup import WHITESPACE_RE
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     counts = (
         docs.select(
             "source",
@@ -1080,7 +1157,7 @@ def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the parquet scan).  A malformed/missing key yields NULL (counted
     separately via n_with_k), never a job failure.  All aggregates are
     exact integers so the driver value-hash is summation-order-free."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _fan(_t(spark, sf_dir, "events"))
     k = F.from_json(F.col("props"), "k BIGINT")["k"]
     return (
         ev.withColumn("k", k)

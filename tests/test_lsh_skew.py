@@ -44,17 +44,18 @@ def test_star_policy_truncates_hot_bucket(spark, skewed):
 
 def test_oversize_branch_builds_no_array(spark, skewed):
     """Plan-level guarantee: bucket sizes come from a window count (spills,
-    no buffer) and the single collect_list runs on the pre-filtered small
-    branch only."""
+    no buffer) and NO per-bucket array is ever built — the r6 expansion is
+    a size-gated self-join, so collect_list is gone entirely and the join
+    inputs are filtered on the window-computed size."""
     pairs = candidate_pairs(skewed, max_bucket=16, oversize_policy="star")
     optimized = pairs._jdf.queryExecution().optimizedPlan().toString().lower()
     assert "windowspecdefinition" in optimized, "size gate must be a window count"
-    # exactly one collect_list, and the aggregate's input is gated on the
-    # window-computed size BEFORE collecting (the star branch builds none)
-    assert optimized.count("collect_list") == 1
-    agg_idx = optimized.index("collect_list")
+    # the r5 shape collected each small bucket into an array; the r6
+    # self-join builds no aggregation buffer at all
+    assert "collect_list" not in optimized
+    join_idx = optimized.index("join")
     gate_idx = optimized.index("<= 16")
-    assert gate_idx > agg_idx, "size filter must sit BELOW the aggregate"
+    assert gate_idx > join_idx, "size filter must sit BELOW the join"
 
 
 def test_drop_policy_drops_hot_bucket(spark, skewed):

@@ -124,6 +124,198 @@ def simhash(token_h: np.ndarray, weights: np.ndarray | None = None) -> int:
     return int(sig)
 
 
+# ---------------------------------------------------------------------------
+# Batch (whole-Arrow-batch) kernels — round 6 (guide §4.2): the per-doc
+# Python loops above cost ~30-50 µs of interpreter overhead per document,
+# which dominates the sign stage once the corpus is large.  These kernels
+# process ALL documents of a batch in a handful of numpy passes over
+# flattened ragged arrays; outputs are bit-identical to the per-doc
+# kernels (same token_hash, same polynomial combination, same minhash
+# params), verified by tests/test_hashing_batch.py.
+# ---------------------------------------------------------------------------
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for an int64 counts array."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    idx = np.arange(total, dtype=np.int64)
+    return idx - np.repeat(ends - counts, counts)
+
+
+def split_hash_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize + hash a whole batch of texts in one pass.
+
+    Returns ``(flat, offsets)``: ``flat[offsets[i]:offsets[i+1]]`` are doc
+    i's token hashes in order.  Token identity is resolved once per batch
+    (``pd.factorize`` — C-level hashing) and blake2b runs once per
+    DISTINCT token, the batch-memo idea taken to its vectorized limit.
+    """
+    import pandas as pd
+
+    tok_lists = [t.split() if t else [] for t in texts]
+    n = len(tok_lists)
+    lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos:pos + len(toks)] = toks
+        pos += len(toks)
+    codes, uniques = pd.factorize(flat)
+    uh = np.fromiter(
+        (token_hash(t) for t in uniques), dtype=np.uint64, count=len(uniques)
+    )
+    return uh[codes], offsets
+
+
+def _poly_consts(k: int) -> np.ndarray:
+    return (_C1 * (np.arange(1, k + 1, dtype=np.uint64) * _C2 + _C3)) | U64(1)
+
+
+def _finalize(acc: np.ndarray) -> np.ndarray:
+    acc = acc * _C1
+    acc ^= acc >> U64(31)
+    return acc
+
+
+def batch_shingle_seq(
+    flat_h: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc positional k-shingle hashes (``shingle_hashes_seq`` for
+    every doc at once).  Returns ``(grams_flat, gram_offsets)``; docs with
+    ``0 < len < k`` clamp to one whole-doc shingle, empty docs yield no
+    grams — identical edge semantics to the per-doc kernel."""
+    n_docs = len(offsets) - 1
+    lens = np.diff(offsets)
+    m = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    go = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(m, out=go[1:])
+    out = np.zeros(int(go[-1]), dtype=np.uint64)
+    n_tot = len(flat_h)
+    if n_tot == 0:
+        return out, go
+    full = lens >= k
+    n_win = n_tot - k + 1
+    if full.any() and n_win > 0:
+        consts = _poly_consts(k)
+        acc = np.zeros(n_win, dtype=np.uint64)
+        for j in range(k):
+            acc += flat_h[j:j + n_win] * consts[j]
+        acc = _finalize(acc)
+        starts = offsets[:-1][full]
+        cnt = (lens - k + 1)[full]
+        rag = _ragged_arange(cnt)
+        out[np.repeat(go[:-1][full], cnt) + rag] = acc[np.repeat(starts, cnt) + rag]
+    # short docs (0 < len < k): a single whole-doc gram at width len
+    for short_len in range(1, k):
+        sel = lens == short_len
+        if not sel.any():
+            continue
+        consts = _poly_consts(short_len)
+        starts = offsets[:-1][sel]
+        acc = np.zeros(int(sel.sum()), dtype=np.uint64)
+        for j in range(short_len):
+            acc += flat_h[starts + j] * consts[j]
+        out[go[:-1][sel]] = _finalize(acc)
+    return out, go
+
+
+def batch_unique_sets(
+    grams_flat: np.ndarray, gram_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted distinct values (the shingle SET per doc).  One
+    lexsort over (doc, gram) + adjacent-dedup instead of per-doc
+    ``np.unique`` calls.  Returns ``(sets_flat, set_offsets)``."""
+    n_docs = len(gram_offsets) - 1
+    cnt = np.diff(gram_offsets)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), cnt)
+    order = np.lexsort((grams_flat, doc_of))
+    g = grams_flat[order]
+    d = doc_of[order]
+    keep = np.ones(len(g), dtype=bool)
+    if len(g) > 1:
+        keep[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+    g = g[keep]
+    d = d[keep]
+    so = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(d, minlength=n_docs).astype(np.int64), out=so[1:])
+    return g, so
+
+
+#: gram cap per minhash/simhash chunk.  Deliberately SMALL: the
+#: (chunk, n_perms) uint64 working set must stay L2-resident — measured
+#: on the 128-perm shape: cap 1024 (1 MB) runs the whole 524k-gram batch
+#: in 0.21 s, cap 32768 (32 MB, DRAM-resident) in 3.1 s, and the DRAM
+#: traffic multiplies across 32 concurrent worker processes
+_BATCH_CHUNK_GRAMS = 1 << 10
+
+
+def batch_minhash(
+    sets_flat: np.ndarray, set_offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signatures for every doc: one (chunk_grams, n_perms)
+    product + ``minimum.reduceat`` per chunk of docs.  Empty sets get the
+    all-max sentinel, matching ``minhash_signature``.  Returns an
+    ``(n_docs, n_perms)`` uint64 matrix."""
+    n_docs = len(set_offsets) - 1
+    out = np.full((n_docs, len(a)), np.iinfo(np.uint64).max, dtype=np.uint64)
+    counts = np.diff(set_offsets)
+    cap = max(_BATCH_CHUNK_GRAMS, int(counts.max()) if n_docs else 0)
+    buf = np.empty((cap, len(a)), dtype=np.uint64)
+    start = 0
+    while start < n_docs:
+        end = start + 1
+        g0 = set_offsets[start]
+        while end < n_docs and set_offsets[end + 1] - g0 <= cap:
+            end += 1
+        seg = sets_flat[g0:set_offsets[end]]
+        if len(seg):
+            ne = np.flatnonzero(counts[start:end] > 0) + start
+            # fused into one preallocated buffer: no fresh-page temporaries
+            prod = np.multiply(seg[:, None], a[None, :], out=buf[: len(seg)])
+            prod += b
+            out[ne] = np.minimum.reduceat(prod, set_offsets[ne] - g0, axis=0)
+        start = end
+    return out
+
+
+_SIMHASH_WEIGHTS = U64(1) << _BIT_SHIFTS
+
+
+def batch_simhash(grams_flat: np.ndarray, gram_offsets: np.ndarray) -> np.ndarray:
+    """SimHash for every doc from its ALL-occurrence gram hashes.
+    Identical to ``simhash`` (unique+counts weighting == summing bits over
+    occurrences).  Returns an int64-viewable uint64 vector (0 for empty
+    docs)."""
+    n_docs = len(gram_offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    counts = np.diff(gram_offsets)
+    start = 0
+    while start < n_docs:
+        end = start + 1
+        g0 = gram_offsets[start]
+        while end < n_docs and gram_offsets[end + 1] - g0 <= _BATCH_CHUNK_GRAMS:
+            end += 1
+        seg = grams_flat[g0:gram_offsets[end]]
+        if len(seg):
+            ne = np.flatnonzero(counts[start:end] > 0) + start
+            bits = ((seg[:, None] >> _BIT_SHIFTS[None, :]) & U64(1)).astype(np.int64)
+            sums = np.add.reduceat(bits, gram_offsets[ne] - g0, axis=0)
+            v = 2 * sums - counts[ne][:, None]
+            out[ne] = ((v > 0).astype(np.uint64) * _SIMHASH_WEIGHTS[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        start = end
+    return out
+
+
 def md5_shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
     """Positional k-shingle hashes derived from md5 of the shingle STRING
     (first 8 digest bytes, big-endian) — duplicates preserved.

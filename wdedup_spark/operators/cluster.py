@@ -126,9 +126,17 @@ def connected_components(
     ``small_graph_edges`` run exact union-find on the driver (one job +
     O(E α(E)) local work); above it, distributed hash-to-min with pointer
     jumping (O(log n) rounds)."""
-    distinct_edges = edges.select(
-        F.col(a_col).alias("conv_a"), F.col(b_col).alias("conv_b")
-    ).distinct()
+    # eager local checkpoint BEFORE the strategy probe (r6, guide §2.4):
+    # the count() below and the collect()/iteration that follows are
+    # SEPARATE actions — without the checkpoint the entire upstream chain
+    # (sign → band → candidate expansion → verify, the expensive part of
+    # every *_clusters query) executes twice.  Blocks are bounded: the
+    # dup-pair edge set, not the corpus.
+    distinct_edges = (
+        edges.select(F.col(a_col).alias("conv_a"), F.col(b_col).alias("conv_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_edges = distinct_edges.count()
     if n_edges <= small_graph_edges:
         spark = edges.sparkSession

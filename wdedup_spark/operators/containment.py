@@ -141,6 +141,8 @@ def containment_join(
     # global ascending frequency; ties broken by token value so every
     # set is ordered by the SAME total order (required for the filter)
     freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    # checkpoint: the ordered sets feed BOTH the prefix index and (r6)
+    # the position-carrying probe side
     ordered = (
         tok.join(freq, "tk")
         .groupBy("id")
@@ -151,25 +153,71 @@ def containment_join(
                 F.array_sort(F.collect_list(F.struct("df", "tk"))), lambda s: s.tk
             ).alias("otoks"),
         )
+        .localCheckpoint(eager=False)
     )
-    plen = prefix_bound_len(F.col("sz"), t)
+    # l-PREFIX candidate generation (r6).  The plain 1-prefix filter is
+    # nearly unselective on corpora whose "rare" tokens still have
+    # document frequency in the tens: at sf1.0 it admitted 16.9M
+    # candidate pairs — ~1.3% of ALL pairs — and the exact array verify
+    # on them was the whole query's cost.  The l-prefix generalization
+    # (the pigeonhole extended by l−1: with prefix length
+    # |S| − α + l, any pair with |A∩B| ≥ α shares ≥ l tokens of the
+    # prefix — cf. the adaptive-prefix framework of Wang/Li/Feng,
+    # SIGMOD'12) lets us demand l=2 shared prefix tokens via a count
+    # aggregate, which kills the one-shared-token junk mass before
+    # anything ships a set array.  α = ceil(t·|S|) is the integral
+    # minimum intersection (round-before-ceil guard as everywhere);
+    # sets with α < l fall back to l_eff = α, so tiny sets keep the
+    # plain lossless bound.
+    L_PREFIX = 2
+    alpha = F.ceil(F.round(F.col("sz") * t, 6))
+    l_eff = F.least(F.lit(L_PREFIX), alpha)
+    plen = (F.col("sz") - alpha + l_eff).cast("int")
     prefix = ordered.select(
         F.col("id").alias("id_i"),
         F.col("sz").alias("sz_i"),
         *( [F.col("nw").alias("nw_i")] if new_col else [] ),
-        F.explode(F.slice("otoks", 1, plen)).alias("tk"),
+        F.posexplode(F.slice("otoks", 1, plen)).alias("pos_i", "tk"),
     )
-    probe = tok.select(
-        F.col("id").alias("id_p"), F.col("sz").alias("sz_p"), "tk",
+    probe = ordered.select(
+        F.col("id").alias("id_p"), F.col("sz").alias("sz_p"),
         *( [F.col("nw").alias("nw_p")] if new_col else [] ),
+        F.posexplode("otoks").alias("pos_p", "tk"),
     )
-    cands = prefix.join(probe, "tk").filter(
-        (F.col("sz_i") <= F.col("sz_p")) & (F.col("id_i") != F.col("id_p"))
+    # positional filter (PPJoin, Xiao et al. WWW'08 §3.2), loosened by
+    # l_eff so it can never drop one of the first l_eff common tokens a
+    # qualifying pair must present: the j-th common token (j <= l_eff)
+    # of a pair with |A∩B| ≥ α satisfies
+    #   α <= j + min(sz_i − 1 − pos_i, sz_p − 1 − pos_p)
+    # because both lists share one global total order.
+    alpha_i = F.ceil(F.round(F.col("sz_i") * t, 6))
+    l_eff_i = F.least(F.lit(L_PREFIX), alpha_i)
+    matched = prefix.join(probe, "tk").filter(
+        (F.col("sz_i") <= F.col("sz_p"))
+        & (F.col("id_i") != F.col("id_p"))
+        & (
+            l_eff_i + F.least(
+                F.col("sz_i") - 1 - F.col("pos_i"),
+                F.col("sz_p") - 1 - F.col("pos_p"),
+            )
+            >= alpha_i
+        )
     )
     if new_col:
-        cands = cands.filter(F.col("nw_i") | F.col("nw_p"))
+        matched = matched.filter(F.col("nw_i") | F.col("nw_p"))
+    # count shared prefix tokens per DIRECTED (smaller, larger) pair and
+    # demand l_eff of them; equal-size pairs appear in both directions
+    # with the same count, and least/greatest + distinct then emits each
+    # unordered pair once, exactly as before
+    counted = matched.groupBy("id_i", "id_p").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("sz_i").alias("_szi")
+    )
     cands = (
-        cands.select(
+        counted.filter(
+            F.col("_cnt")
+            >= F.least(F.lit(L_PREFIX), F.ceil(F.round(F.col("_szi") * t, 6)))
+        )
+        .select(
             F.least("id_i", "id_p").alias("conv_a"),
             F.greatest("id_i", "id_p").alias("conv_b"),
         )

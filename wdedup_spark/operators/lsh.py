@@ -6,12 +6,15 @@ band key replaces all lg(N/M) merge levels (SURVEY.md §2 O6-O8).
 
 Scale design:
 * Banding is JVM-side (``xxhash64`` over signature slices) — no Python.
-* Candidate pairs are emitted per bucket via groupBy + bounded pair
-  expansion, NOT an unbounded self-equi-join: a bucket of m docs yields
+* Candidate pairs are emitted per bucket via a SIZE-GATED co-partitioned
+  self-join (r6 — the window count runs first, so only buckets with
+  1 < m <= max_bucket ever reach the join): a bucket of m docs yields
   m(m-1)/2 pairs only while m <= max_bucket; oversize buckets (boilerplate
   floods) degrade to m-1 star edges around the min id — bounded output,
   connectivity preserved for clustering (the reference's "collapse on
-  first collision" economy, src/wmerge.cpp:124-127).
+  first collision" economy, src/wmerge.cpp:124-127).  No per-bucket
+  array is ever built (the r5 collect_list shape was both slower and
+  carried the aggregation-buffer footprint).
 * Dedup of the same pair across bands is one ``distinct`` on (a, b) —
   map-side partial aggregation absorbs most of it.
 * Skew: AQE skew-join is on (session.py); hot *conversations* are removed
@@ -51,20 +54,23 @@ def band_buckets(
     rows = n_perms_val // n_bands
     if rows * n_bands != n_perms_val:
         raise ValueError(f"n_perms={n_perms_val} not divisible by n_bands={n_bands}")
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.lit(b), F.slice(F.col(sig_col), b * rows + 1, rows)).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    # explode the band INDEX first, then one small per-row hash expression
+    # (r6): the previous form built an array of n_bands structs each
+    # hashing an array slice — a giant expression tree that fell out of
+    # efficient codegen and cost 14× more per row (measured 2.9 s → 0.2 s
+    # at 50k docs × 32 bands).  The bucket is xxhash64 over the band's
+    # signature LANES (element_at), not over a sliced sub-array — a
+    # different 64-bit value but the identical equality relation, which
+    # is all a bucket key is.
     extra = passthrough or []
+    sig = F.col(sig_col)
+    bidx = F.col("band")
+    lanes = [F.element_at(sig, bidx * rows + j + 1) for j in range(rows)]
     return df.select(
-        F.col(id_col).alias("id"), *extra, F.explode(bands).alias("bb")
+        F.col(id_col).alias("id"), *extra, sig,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).select(
-        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id", *extra
+        "band", F.xxhash64(bidx, *lanes).alias("bucket"), "id", *extra
     )
 
 
@@ -114,39 +120,45 @@ def candidate_pairs(
     materializes a 10^7-element aggregation buffer: its rows flow straight
     to the star branch as (min_id, id) edges, one row at a time.
     """
-    # incremental mode collects (id, is_new) structs — sort_array still
-    # orders by id (first struct field), preserving the a < b expansion
-    entry = (
-        F.struct(F.col("id").alias("id"), F.col(new_col).alias("_n"))
-        if new_col
-        else F.col("id")
-    )
-
-    def _expand(buckets: DataFrame) -> DataFrame:
+    # within-bucket expansion as a co-partitioned SELF-JOIN on the bucket
+    # key (r6): the previous shape (collect_list per bucket + double
+    # explode + filter) paid an ObjectHashAggregate building an array per
+    # bucket and an interpreted two-level explode — measured 2.4× slower
+    # end-to-end than the join at 1.6M banded rows.  The join's two
+    # inputs are the SAME subtree, so Catalyst reuses one Exchange
+    # (ReusedExchange — no second shuffle), and no per-bucket array is
+    # ever materialized: a bucket of m rows streams m(m-1)/2 join rows.
+    # Output bounds are unchanged — the sized policies still gate on the
+    # window count FIRST, so only buckets with 1 < m <= max_bucket reach
+    # the join; oversize buckets take the star path row-by-row.
+    def _expand(rows: DataFrame) -> DataFrame:
+        lcols = [F.col("band"), F.col("bucket"), F.col("id").alias("_ida")]
+        rcols = [F.col("band"), F.col("bucket"), F.col("id").alias("_idb")]
+        if new_col:
+            lcols.append(F.col(new_col).alias("_na"))
+            rcols.append(F.col(new_col).alias("_nb"))
+        # shuffle_hash hint: size ESTIMATES through the Python signature
+        # UDFs are garbage, so without it the planner broadcasts the
+        # multi-million-row banded side (driver collect + the whole
+        # sign/band subtree executed twice — observed in the cosine
+        # query's executedPlan).  A shuffled-hash join partitions both
+        # sides on the bucket key once — and since both sides are the
+        # SAME subtree, the second Exchange is a ReusedExchange: the
+        # upstream computes exactly once.
         p = (
-            buckets.select(F.explode("ids").alias("x"), F.col("ids"))
-            .select("x", F.explode("ids").alias("y"))
+            rows.select(*lcols)
+            .hint("shuffle_hash")
+            .join(rows.select(*rcols), ["band", "bucket"])
+            .filter(F.col("_ida") < F.col("_idb"))
         )
         if new_col:
-            return (
-                p.filter(
-                    (F.col("x.id") < F.col("y.id"))
-                    & (F.col("x._n") | F.col("y._n"))
-                )
-                .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-            )
-        return p.filter(F.col("x") < F.col("y")).select(
-            F.col("x").alias("a"), F.col("y").alias("b")
-        )
+            p = p.filter(F.col("_na") | F.col("_nb"))
+        return p.select(F.col("_ida").alias("a"), F.col("_idb").alias("b"))
 
     if oversize_policy == "all":
-        # no cap → no size split needed; single groupBy (tests/small data)
-        buckets = (
-            banded.groupBy("band", "bucket")
-            .agg(F.sort_array(F.collect_list(entry)).alias("ids"), F.count(F.lit(1)).alias("m"))
-            .filter(F.col("m") > 1)
-        )
-        pairs_small = _expand(buckets)
+        # no cap → no size gate needed: singleton buckets emit nothing
+        # from the a < b join (tests/small data)
+        pairs_small = _expand(banded)
         big_rows = None
     else:
         w = Window.partitionBy("band", "bucket")
@@ -172,14 +184,10 @@ def candidate_pairs(
             F.count(F.lit(1)).over(w).alias("m"),
             F.min("id").over(w).alias("min_id"),
         ).filter(F.col("m") > 1)
-        # the groupBy below reuses the window's hash partitioning on
-        # (band, bucket) — one exchange total, verified in docs/PLANS.md
+        # the join below reuses the window's hash partitioning on
+        # (band, bucket) — one exchange total
         small = counted.filter(F.col("m") <= max_bucket)
-        pairs_small = _expand(
-            small.groupBy("band", "bucket").agg(
-                F.sort_array(F.collect_list(entry)).alias("ids")
-            )
-        )
+        pairs_small = _expand(small)
         big_rows = counted.filter(F.col("m") > max_bucket)
 
     if min_collisions > 1:

@@ -28,17 +28,22 @@ DEFAULT_SEED = 42
 
 
 def shingle_udf(k: int = DEFAULT_K):
-    """text → array<long> of distinct hashed k-token-shingles."""
+    """text → array<long> of distinct hashed k-token-shingles.
+
+    Whole-batch vectorized (r6, guide §4.2): one tokenize+factorize pass,
+    one global windowed-hash pass, one lexsort — no per-doc Python loop.
+    Bit-identical to the per-doc kernels (tests/test_hashing_batch.py)."""
 
     @pandas_udf("array<long>")
     def _shingle(texts: pd.Series) -> pd.Series:
-        th = hashing.TokenHasher()
-        out = []
-        for t in texts:
-            toks = t.split() if t else []
-            sh = hashing.shingle_hashes(th.hash_tokens(toks), k)
-            out.append(hashing.to_i64(sh))
-        return pd.Series(out)
+        import numpy as np
+
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        flat_h, offsets = hashing.split_hash_batch(texts)
+        grams, go = hashing.batch_shingle_seq(flat_h, offsets, k)
+        sets, so = hashing.batch_unique_sets(grams, go)
+        return pd.Series(np.split(sets.view(np.int64), so[1:-1]))
 
     return _shingle
 
@@ -86,27 +91,41 @@ def sign_udf(
     def _sign(texts: pd.Series) -> pd.DataFrame:
         import numpy as np
 
-        from wdedup_spark.operators.substring import winnow
+        n = len(texts)
+        if n == 0:
+            return pd.DataFrame(
+                {"shingles": [], "sig": [],
+                 "simhash": pd.Series([], dtype="int64"), "anchors": []}
+            )
+        # whole-batch vectorized pipeline (r6, guide §4.2): tokenization +
+        # token hashing (one factorize, blake2b per distinct token), the
+        # k-gram windowed hash, per-doc set dedup, MinHash and SimHash all
+        # run as a few numpy passes over flattened ragged arrays instead
+        # of a per-document Python loop — bit-identical outputs
+        # (tests/test_hashing_batch.py pins parity with the per-doc
+        # kernels on every edge shape)
+        flat_h, offsets = hashing.split_hash_batch(texts)
+        grams, go = hashing.batch_shingle_seq(flat_h, offsets, k)
+        sets, so = hashing.batch_unique_sets(grams, go)
+        shingles = np.split(sets.view(np.int64), so[1:-1])
+        sigs = list(hashing.batch_minhash(sets, so, a, b).view(np.int64))
+        if enable_simhash:
+            simhashes = hashing.batch_simhash(grams, go).view(np.int64)
+        else:
+            simhashes = np.zeros(n, dtype=np.int64)
+        if enable_substring:
+            from wdedup_spark.operators.substring import winnow_from_grams
 
-        th = hashing.TokenHasher()
-        shingles, sigs, simhashes, anchors = [], [], [], []
-        for t in texts:
-            toks = t.split() if t else []
-            h = th.hash_tokens(toks)
-            gram_seq = hashing.shingle_hashes_seq(h, k)
-            sset = np.unique(gram_seq)
-            shingles.append(hashing.to_i64(sset))
-            sigs.append(hashing.to_i64(hashing.minhash_signature(sset, a, b)))
-            simhashes.append(
-                hashing.to_i64(hashing.simhash(gram_seq)) if enable_simhash else 0
-            )
-            anchors.append(
-                hashing.to_i64(winnow(h, substring_k, substring_w))
-                if enable_substring
-                else []
-            )
+            sgrams, sgo = hashing.batch_shingle_seq(flat_h, offsets, substring_k)
+            anchors = [
+                hashing.to_i64(winnow_from_grams(sgrams[sgo[i]:sgo[i + 1]], substring_w))
+                for i in range(n)
+            ]
+        else:
+            anchors = [[]] * n
         return pd.DataFrame(
-            {"shingles": shingles, "sig": sigs, "simhash": pd.Series(simhashes, dtype="int64"), "anchors": anchors}
+            {"shingles": shingles, "sig": sigs,
+             "simhash": pd.Series(simhashes, dtype="int64"), "anchors": anchors}
         )
 
     return _sign

@@ -14,20 +14,80 @@ Two pieces a training-data pipeline runs next to dedup:
   argmin); a quality-aware pipeline generalizes the argmin key to
   (quality desc, id) — same scan, different order.
 
-Scale shape: repetition stats are two hash aggregations over exploded
-n-grams — partial map-side combines, keys are (doc_id, gram) then doc_id,
-so hot grams never concentrate (doc_id spreads them).  Keeper selection
-is one window over clusters (hash-partitioned by cluster_id) — or, where
-a full sort-per-cluster is unwanted, the same ``max_by`` aggregation
-shape as exact dedup's min-rep.  No Python anywhere.
+Scale shape (r6): repetition stats are PER-DOCUMENT facts, so they are
+computed narrowly — one Arrow-batched kernel per scan partition, zero
+exchanges — instead of the r5 shape (explode every gram occurrence into
+two corpus-wide hash aggregations, which shuffled ~L bytes of gram
+strings per token of corpus; guide §2.3/§2.4: the cheapest shuffle is
+the one you delete).  Gram identity inside the kernel is EXACT (token
+codes from ``pd.factorize``, pairwise-combined and re-factorized — never
+a lossy hash), so results are identical to the grouped-aggregation
+formulation by construction.  Keeper selection keeps the single-exchange
+``min_by`` aggregate shape.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from wdedup_spark.operators.decontaminate import ngram_array
+
+def _ngram_count_stats(texts: pd.Series, n: int):
+    """Per-doc n-gram occurrence stats for a whole Arrow batch:
+    ``(n_grams, top_gram_n, dup_mass)`` int64 arrays.  Docs with fewer
+    than ``n`` tokens report 0 grams (the ``ngram_array`` contract).
+
+    Exact-identity trick: tokens are factorized once per batch (C-level
+    string hashing); an n-gram's identity is the TUPLE of its token
+    codes, folded pairwise with a re-factorize per step so values stay
+    exact int64 — no 64-bit hash, no collision caveat."""
+    tok_lists = [t.split() if t else [] for t in texts]
+    nd = len(tok_lists)
+    lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=nd)
+    offsets = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    m = np.maximum(lens - n + 1, 0)  # grams per doc
+    top = np.zeros(nd, dtype=np.int64)
+    dup = np.zeros(nd, dtype=np.int64)
+    if total == 0 or not (m > 0).any():
+        return m, top, dup
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos:pos + len(toks)] = toks
+        pos += len(toks)
+    codes, _ = pd.factorize(flat)
+    e = codes.astype(np.int64)
+    for j in range(1, n):
+        comb = e[: total - j] * np.int64(1 << 31) + codes[j:]
+        e, _ = pd.factorize(comb)
+        e = e.astype(np.int64)
+    # windows crossing a doc boundary are invalid
+    n_win = total - n + 1
+    doc_of = np.repeat(np.arange(nd, dtype=np.int64), lens)[:n_win]
+    valid = (np.arange(n_win, dtype=np.int64) - offsets[doc_of]) < m[doc_of]
+    g = e[:n_win][valid]
+    d = doc_of[valid]
+    order = np.lexsort((g, d))
+    g = g[order]
+    d = d[order]
+    # run-length encode (doc, gram) occurrence counts
+    change = np.ones(len(g), dtype=bool)
+    change[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+    run_starts = np.flatnonzero(change)
+    run_doc = d[run_starts]
+    run_cnt = np.diff(np.append(run_starts, len(g)))
+    doc_change = np.ones(len(run_doc), dtype=bool)
+    doc_change[1:] = run_doc[1:] != run_doc[:-1]
+    doc_starts = np.flatnonzero(doc_change)
+    docs_present = run_doc[doc_starts]
+    top[docs_present] = np.maximum.reduceat(run_cnt, doc_starts)
+    dup[docs_present] = np.add.reduceat(np.where(run_cnt > 1, run_cnt, 0), doc_starts)
+    return m, top, dup
 
 
 def repetition_stats(
@@ -48,27 +108,31 @@ def repetition_stats(
       cut a filtering pass would apply.
 
     Counts use ALL occurrences (not distinct grams): a doc that repeats
-    one sentence 50 times must score ~1.0, not 1/n_distinct."""
-    # all-occurrence grams via the shared expression (explode drops the
-    # empty arrays of sub-n-token docs, so the ≥1-gram row set is
-    # unchanged); distinct=False because counts must use ALL occurrences
-    toks_grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(ngram_array(text_col, n, distinct=False)).alias("gram"),
+    one sentence 50 times must score ~1.0, not 1/n_distinct.
+
+    Narrow plan (r6): the integer stats come from one Arrow-batched
+    kernel fused into the scan (zero exchanges — the stats are per-doc
+    facts); the fractions/flag are the same JVM double divisions the
+    aggregate formulation produced, so values match bit-for-bit."""
+
+    @pandas_udf("struct<n_grams:long, top_gram_n:long, dup_mass:long>")
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        m, top, dup = _ngram_count_stats(texts, n)
+        return pd.DataFrame({"n_grams": m, "top_gram_n": top, "dup_mass": dup})
+
+    s = (
+        df.select(F.col(id_col).alias("id"), _stats(F.col(text_col)).alias("_s"))
+        .select("id", "_s.*")
+        .filter(F.col("n_grams") > 0)
     )
-    per_gram = toks_grams.groupBy("id", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    return per_gram.groupBy("id").agg(
-        F.sum("cnt").cast("long").alias("n_grams"),
-        F.max("cnt").cast("long").alias("top_gram_n"),
-        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_gram_frac"),
-        F.round(
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
-            / F.sum("cnt"),
-            6,
-        ).alias("dup_gram_frac"),
-        (F.max("cnt") / F.sum("cnt") > flag_top_frac).alias("flagged"),
+    top_over_sum = F.col("top_gram_n") / F.col("n_grams")
+    return s.select(
+        "id",
+        "n_grams",
+        "top_gram_n",
+        F.round(top_over_sum, 6).alias("top_gram_frac"),
+        F.round(F.col("dup_mass") / F.col("n_grams"), 6).alias("dup_gram_frac"),
+        (top_over_sum > flag_top_frac).alias("flagged"),
     )
 
 

@@ -62,6 +62,12 @@ def add_simhash(
     k: int = 3,
     feature: str = "poly",
 ) -> DataFrame:
+    # (r6 negative result, kept for the record: computing the md5
+    # features JVM-side — md5+conv inside a higher-order transform
+    # lambda — regressed simhash_pairs 12 s → 80 s at sf1.0, because
+    # lambda bodies are interpreted per WINDOW and never reach codegen.
+    # The Python loop stays; the split-size floor in session.py now fans
+    # it across every core, which is where its wall actually went.)
     return df.withColumn(out_col, simhash_udf(k, feature)(F.col(text_col)))
 
 
@@ -103,18 +109,28 @@ def simhash_chunks(
             F.lit((1 << widths[i]) - 1).cast("long")
         )
 
-    keys = []
-    for t, combo in enumerate(combinations(range(n_blocks), n_blocks - max_hamming)):
-        keys.append(
-            F.struct(
-                F.lit(t).alias("band"),
-                F.xxhash64(*[block(i) for i in combo]).alias("bucket"),
-            )
-        )
+    # two-projection shape (r6, same fix as lsh.band_buckets): materialize
+    # the n_blocks block values ONCE as columns, then build a flat
+    # array<long> of the C(n_blocks, n_blocks-d) combination hashes over
+    # plain column refs and posexplode it — the r5 single expression
+    # (array of 20 structs, each recomputing its blocks' shift/mask)
+    # was large enough to fall out of efficient codegen.
     extra = passthrough or []
-    return df.select(
-        F.col(id_col).alias("id"), *extra, F.explode(F.array(*keys)).alias("bb")
-    ).select("bb.band", "bb.bucket", "id", *extra)
+    blocked = df.select(
+        F.col(id_col).alias("id"), *extra,
+        *[block(i).alias(f"_blk{i}") for i in range(n_blocks)],
+    )
+    keys = F.array(
+        *[
+            F.xxhash64(F.lit(t), *[F.col(f"_blk{i}") for i in combo])
+            for t, combo in enumerate(
+                combinations(range(n_blocks), n_blocks - max_hamming)
+            )
+        ]
+    )
+    return blocked.select(
+        "id", *extra, F.posexplode(keys).alias("band", "bucket")
+    ).select("band", "bucket", "id", *extra)
 
 
 def simhash_candidates(
@@ -136,7 +152,14 @@ def simhash_candidates(
     oracle's all-pairs definition); "star" bounds pathological buckets at
     scale at the cost of completeness inside them.
     """
-    signed = add_simhash(df, text_col, k=k, feature=feature)
+    # checkpoint: the signature pass (Python md5/hash kernels) feeds the
+    # banding AND both sides of the exact-distance verify join — without
+    # this it executes three times per query (r6)
+    signed = (
+        add_simhash(df, text_col, k=k, feature=feature)
+        .select(F.col(id_col).alias(id_col), "simhash")
+        .localCheckpoint(eager=False)
+    )
     sigs = signed.select(F.col(id_col).alias("id"), "simhash")
     cands = candidate_pairs(
         simhash_chunks(signed, "simhash", id_col, max_hamming), max_bucket, oversize_policy

@@ -35,9 +35,9 @@ DEFAULT_KGRAM = 16
 DEFAULT_WINDOW = 48  # guarantee: spans >= 48+16-1 = 63 tokens are detected
 
 
-def winnow(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
-    """Distinct winnowing fingerprints of a token-hash sequence."""
-    grams = hashing.shingle_hashes_seq(token_h, k)
+def winnow_from_grams(grams: np.ndarray, w: int) -> np.ndarray:
+    """Distinct winnowing fingerprints of a precomputed k-gram hash
+    sequence (the batch kernels supply the grams; see ``winnow``)."""
     n = len(grams)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
@@ -49,15 +49,26 @@ def winnow(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
     return np.unique(view.min(axis=1))
 
 
+def winnow(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Distinct winnowing fingerprints of a token-hash sequence."""
+    return winnow_from_grams(hashing.shingle_hashes_seq(token_h, k), w)
+
+
 def fingerprint_udf(k: int = DEFAULT_KGRAM, w: int = DEFAULT_WINDOW):
     @pandas_udf("array<long>")
     def _fp(texts: pd.Series) -> pd.Series:
-        th = hashing.TokenHasher()
-        out = []
-        for t in texts:
-            toks = t.split() if t else []
-            out.append(hashing.to_i64(winnow(th.hash_tokens(toks), k, w)))
-        return pd.Series(out)
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        # batch kernels for tokenize/hash/gram (r6); the sliding-window
+        # min stays per doc (w is large relative to doc gram counts)
+        flat_h, offsets = hashing.split_hash_batch(texts)
+        grams, go = hashing.batch_shingle_seq(flat_h, offsets, k)
+        return pd.Series(
+            [
+                hashing.to_i64(winnow_from_grams(grams[go[i]:go[i + 1]], w))
+                for i in range(len(texts))
+            ]
+        )
 
     return _fp
 
@@ -130,10 +141,13 @@ def substring_candidates(
     contract the DuckDB diagonal-islands oracle checks.  "star" bounds hot
     anchors (boilerplate spans shared by thousands of docs) at scale.
     """
+    # checkpoint: the winnowing pass feeds the anchor explode AND both
+    # sides of the common-run verify join — without this it executes
+    # three times per query (r6)
     fp = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("doc"),
         fingerprint_udf(k, w)(F.col(text_col)).alias("anchors"),
-    )
+    ).localCheckpoint(eager=False)
     anchored = fp.select("id", F.explode("anchors").alias("bucket")).withColumn(
         "band", F.lit(0)
     )

@@ -52,11 +52,37 @@ def spark_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # join strategy (r6, guide §3.1/§9): allow shuffled-hash join when
+        # its size conditions are met instead of always sort-merge — the
+        # candidate-pair self-joins and verify joins are equi-joins over
+        # modest per-partition build sides, and SMJ's two sorts dominated
+        # them (measured 4.8 s → 2.2 s on the banded self-join shape).
+        # AQE's local-map threshold gates the rewrite per-partition, so a
+        # build side that would not fit stays sort-merge — bounded by
+        # construction, not a local[32] constant.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(256 * 1024 * 1024),
+        )
         # stage tables are compact (signatures, pairs) but CPU-heavy to
         # process: cap split size so re-read stages fan out across cores
         # rather than landing 3 tasks at the default 128m splits
         .config("spark.sql.files.maxPartitionBytes", "32m")
-        .config("spark.sql.files.openCostInBytes", "1m")
+        # split-size floor (r6): maxSplitBytes = min(maxPartitionBytes,
+        # max(openCost, bytes/parallelism)).  The engine's per-byte CPU is
+        # dominated by hashing/signing kernels, so a 1m open-cost floor
+        # left a 6 MB input on ~6 of 32 cores; 64k lets small inputs fan
+        # out to every core while at production byte counts bytes/core >>
+        # 64k and the behavior is identical (scale-adaptive by the
+        # formula itself, not a local[32] constant)
+        .config("spark.sql.files.openCostInBytes", "64k")
+        # AQE coalesce floor (r6), same reasoning post-shuffle: the 1m
+        # default folds a CPU-heavy few-MB shuffle stage (candidate
+        # verify, Python kernels) onto 2-3 cores; 64k keeps parallelism
+        # when bytes/task are small, and is a no-op once real data makes
+        # bytes/parallelism exceed it
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # local mode: driver JVM is the executor; a small heap at high
         # thread counts GC-thrashes (measured: 48g halves the sign stage
         # at 32 threads vs 16g)
