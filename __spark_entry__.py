@@ -655,8 +655,21 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     coincides with the near-dup set; the operator's asymmetric-pair
     behavior is pinned by tests/test_containment.py's planted quotes."""
     from wdedup_spark.operators.containment import containment_join
+    from wdedup_spark.operators.minhash import add_shingles
 
-    signed, _ = _signed_candidates(spark, sf_dir)
+    # shingle-only signing (r6): this query consumes ONLY the shingle
+    # sets — the fused kernel's 128-perm MinHash lanes were computed and
+    # thrown away (~half the sign kernel's CPU)
+    docs = _fan(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("conv_id"), F.col("text").alias("doc")
+    )
+    # checkpointed because containment_join consumes the sets for the
+    # frequency pass, the ordered re-collect AND both verify sides
+    signed = (
+        add_shingles(docs, "doc", k=K)
+        .select("conv_id", "shingles")
+        .localCheckpoint(eager=False)
+    )
     # 1e-6 slack then round-then-filter: the oracle rounds to 6 places
     # BEFORE comparing, so a raw containment in [t - 5e-7, t) must reach
     # the rounding (same convention as q_embedding_dup_pairs' tile slack)
@@ -813,7 +826,8 @@ def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0
     return contaminated(
-        _fan(docs.filter(~is_bench)), docs.filter(is_bench), "text", "doc_id", n=DECON_N
+        _fan(docs.filter(~is_bench)), _fan(docs.filter(is_bench)),
+        "text", "doc_id", n=DECON_N, hashed=True,
     ).select(F.col("id").cast("long").alias("doc_id"), "n_hit_grams")
 
 
@@ -908,7 +922,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/ann.lsh_cosine_pairs."""
     from wdedup_spark.operators.ann import exact_cosine_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
     return (
         exact_cosine_pairs(emb, threshold=0.45, block_size=1024)
         .withColumn("cosine", F.round("cosine", 6))
@@ -966,7 +980,7 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wdedup_spark.operators.ann import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return brute_force_topk(emb, queries, k=5).select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -992,7 +1006,7 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the precedent)."""
     from wdedup_spark.operators.ann import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 100)
     topk = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     lab = emb.select("vec_id", "label")
@@ -1028,7 +1042,7 @@ def q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     = the same all-pairs SQL as ``ann_topk``."""
     from wdedup_spark.operators.ann import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8, n_iter=2).select(
         F.col("query_id").cast("long").alias("query_id"),

@@ -487,6 +487,10 @@ def lsh_cosine_pairs_sparse(
             out[s:e] = np.einsum("ij,ij->i", A, B)
         return pd.Series(out)
 
+    # (r6 negative result: asNondeterministic here — the §4.4
+    # double-eval fix — regressed the cosine query 13.4 s → 24.5 s at
+    # sf1.0 by blocking other rewrites around the verify join; reverted)
+
     norm = F.sqrt(F.aggregate("vv", F.lit(0.0), lambda s, x: s + x * x))
     sa = e.select(
         F.col("id").alias("vec_a"), F.col("ii").alias("ia"),

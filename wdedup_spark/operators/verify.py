@@ -100,6 +100,17 @@ def edit_similarity_bytes_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# r6 (guide §4.4): these kernels sit directly under their own threshold
+# filter (withColumn + filter + select); the optimizer pushes the filter
+# below the projection and evaluates the UDF TWICE per surviving row
+# (two ArrowEvalPython nodes in the r5 plans).  They are pure functions,
+# but marking them non-deterministic forbids the duplicating rewrite —
+# one evaluation per row, identical values.
+jaccard_udf = jaccard_udf.asNondeterministic()
+edit_similarity_udf = edit_similarity_udf.asNondeterministic()
+edit_similarity_bytes_udf = edit_similarity_bytes_udf.asNondeterministic()
+
+
 def verify_pairs(
     pairs: DataFrame,
     shingled: DataFrame,

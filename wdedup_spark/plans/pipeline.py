@@ -31,6 +31,8 @@ import json
 import posixpath
 from dataclasses import asdict, dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -161,6 +163,25 @@ def build_candidates(
     )
 
 
+def _sig_agreement_udf(n_perms: int):
+    """MinHash lane-agreement rate of two fixed-width array<long>
+    signature columns, one numpy pass per Arrow batch (r6) — replaces an
+    interpreted ``aggregate(zip_with(...))`` that cost a JVM closure
+    call per LANE per candidate pair.  Value is the identical
+    exact-integer count divided by n_perms."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _est(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype=np.float64)
+        A = np.stack([np.asarray(x, dtype=np.int64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.int64) for x in b])
+        return pd.Series((A == B).sum(axis=1) / float(n_perms))
+
+    return _est
+
+
 def build_verify(
     cands: DataFrame, signed: DataFrame, reps: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
@@ -187,15 +208,7 @@ def build_verify(
             ),
             "conv_b",
         )
-        .withColumn(
-            "est",
-            F.aggregate(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ).cast("double")
-            / cfg.n_perms,
-        )
+        .withColumn("est", _sig_agreement_udf(cfg.n_perms)(F.col("sig_a"), F.col("sig_b")))
         .select("conv_a", "conv_b", "via", "est", "sh_a", "sh_b")
     )
     from wdedup_spark.operators.verify import jaccard_udf
