@@ -335,6 +335,15 @@ def q_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb, "conv_b")
         .filter((la > 0) & (lb > 0))
         .filter(F.abs(la - lb) <= 0.2 * F.greatest(la, lb))
+        # explicit fan-out before the byte-DP verify (r6): the surviving
+        # candidate set is few MB, so AQE coalesces it onto 1-2
+        # partitions — but each row costs an O(len²/w) numpy DP, and the
+        # stage is CPU-bound, not byte-bound.  A trivial round-robin
+        # exchange spreads the DP across every core (measured: 8.5 s →
+        # ~2.7 s at sf1.0; a global AQE minPartitionSize floor was tried
+        # for the same effect and reverted — it hurt the big pair-join
+        # queries, see session.py)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("edit_sim", F.round(edit_similarity_bytes_udf("text_a", "text_b"), 6))
         .filter(F.col("edit_sim") >= 0.8)
         .select(
@@ -550,7 +559,7 @@ def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the equivalence the operator claims."""
     from wdedup_spark.operators import pack
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return pack.pack_plan(docs, seq_len=512).select(
         F.col("id").alias("doc_id"),
         "n_tokens", "tok_start", "seq_start", "seq_off", "seq_end",
@@ -694,7 +703,7 @@ def q_prefix_subsumed(spark: SparkSession, sf_dir: str) -> DataFrame:
     proper extension, mirrored by the oracle's LATERAL min."""
     from wdedup_spark.operators.prefixdedup import prefix_subsumed
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return prefix_subsumed(docs, "text", "doc_id").select(
         F.col("id").cast("long").alias("doc_id"),
         "subsumed",
@@ -789,7 +798,7 @@ def q_incremental_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted_corpus,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     # exact-first: the channel's distinct-text precondition
     reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     day0 = reps.filter(F.pmod(F.col("doc_id"), F.lit(5)) < 3)
@@ -1114,7 +1123,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHOLE table, where double partial-aggregation order differs between
     engines by ~1 ulp — decimal addition is exact and order-independent,
     so the rounded value can never straddle a rounding boundary."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _fan(_t(spark, sf_dir, "events"))
     return (
         ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date").cast("string"))
         .rollup("day", "event_type")

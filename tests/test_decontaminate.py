@@ -183,3 +183,32 @@ def test_bloom_bitmap_bits_cap(spark):
     grams = bench.select(F.explode(ngram_array("text", 2)).alias("gram"))
     with pytest.raises(ValueError, match="n_bits"):
         bloom_bitmap(grams, (1 << 33) + 8, 4)
+
+
+def test_hashed_grams_no_structural_collision(spark):
+    """The affine poly constants collide 'a b b a' with 'b a a b' at k=4
+    (equal Σh and Σ j·h).  The hashed decontamination path must use the
+    mixed constants, which keep the two grams distinct — a bench doc
+    containing only one of the pair must not flag a train doc containing
+    only the other (caught by the r6 sf0.1 oracle sweep)."""
+    from wdedup_spark.operators.decontaminate import contaminated
+
+    train = spark.createDataFrame(
+        [(1, "group window window group"), (2, "window group group window x")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "window group group window")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["n_hit_grams"]
+        for r in contaminated(train, bench, n=4, hashed=True).collect()
+    }
+    # doc 1 is the reversal-symmetric partner — NOT contaminated
+    assert got == {2: 1}
+    # and the hashed path agrees with the exact string path
+    exact = {
+        r["id"]: r["n_hit_grams"]
+        for r in contaminated(train, bench, n=4, hashed=False).collect()
+    }
+    assert got == exact

@@ -176,7 +176,30 @@ def split_hash_batch(texts) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _poly_consts(k: int) -> np.ndarray:
+    # NOTE these constants are AFFINE in the window position j, which
+    # creates structural collision classes for k >= 4: two windows whose
+    # token multisets have equal Σh and equal Σ j·h collide with
+    # certainty (e.g. "a b b a" vs "b a a b" at k=4 — found by the r6
+    # sf0.1 decontamination sweep).  Candidate-generation paths are
+    # immune (exact verification downstream) and k=3 is structurally
+    # safe (the only position-permutation with equal weights is the
+    # identity), so these stay for signature compatibility; any path
+    # that uses the HASH ITSELF as an identity (hashed decontamination)
+    # must use the mixed constants below.
     return (_C1 * (np.arange(1, k + 1, dtype=np.uint64) * _C2 + _C3)) | U64(1)
+
+
+def _poly_consts_mixed(k: int) -> np.ndarray:
+    """Per-position constants passed through a full splitmix64-style
+    finalizer — NOT affine in j, so the Σh/Σj·h collision classes of
+    ``_poly_consts`` do not exist (collisions are plain 64-bit random)."""
+    x = np.arange(1, k + 1, dtype=np.uint64) * _C1
+    x ^= x >> U64(30)
+    x *= _C2
+    x ^= x >> U64(27)
+    x *= _C3
+    x ^= x >> U64(31)
+    return x | U64(1)
 
 
 def _finalize(acc: np.ndarray) -> np.ndarray:
@@ -186,12 +209,16 @@ def _finalize(acc: np.ndarray) -> np.ndarray:
 
 
 def batch_shingle_seq(
-    flat_h: np.ndarray, offsets: np.ndarray, k: int
+    flat_h: np.ndarray, offsets: np.ndarray, k: int, mixed: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc positional k-shingle hashes (``shingle_hashes_seq`` for
     every doc at once).  Returns ``(grams_flat, gram_offsets)``; docs with
     ``0 < len < k`` clamp to one whole-doc shingle, empty docs yield no
-    grams — identical edge semantics to the per-doc kernel."""
+    grams — identical edge semantics to the per-doc kernel.
+
+    ``mixed=True`` uses the non-affine position constants (see
+    ``_poly_consts_mixed``) — REQUIRED when the hash value itself is a
+    gram identity rather than a candidate key."""
     n_docs = len(offsets) - 1
     lens = np.diff(offsets)
     m = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
@@ -201,10 +228,11 @@ def batch_shingle_seq(
     n_tot = len(flat_h)
     if n_tot == 0:
         return out, go
+    cfn = _poly_consts_mixed if mixed else _poly_consts
     full = lens >= k
     n_win = n_tot - k + 1
     if full.any() and n_win > 0:
-        consts = _poly_consts(k)
+        consts = cfn(k)
         acc = np.zeros(n_win, dtype=np.uint64)
         for j in range(k):
             acc += flat_h[j:j + n_win] * consts[j]
@@ -218,7 +246,7 @@ def batch_shingle_seq(
         sel = lens == short_len
         if not sel.any():
             continue
-        consts = _poly_consts(short_len)
+        consts = cfn(short_len)
         starts = offsets[:-1][sel]
         acc = np.zeros(int(sel.sum()), dtype=np.uint64)
         for j in range(short_len):

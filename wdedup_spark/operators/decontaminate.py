@@ -64,7 +64,13 @@ def gram_hash_array_udf(n: int):
     """text → array<long> of the doc's DISTINCT n-gram hashes (blake2b
     token hashes combined polynomially — the engine's standard shingle
     kernel at width n), with the ``ngram_array`` edge contract: fewer
-    than ``n`` tokens → empty array.  Whole-batch vectorized (r6)."""
+    than ``n`` tokens → empty array.  Whole-batch vectorized (r6).
+
+    Uses the MIXED position constants (``hashing._poly_consts_mixed``):
+    the hash is the gram's IDENTITY here, and the default affine
+    constants collide with certainty on reversal-symmetric patterns
+    ("a b b a" vs "b a a b" — caught by the r6 sf0.1 oracle sweep;
+    tests/test_decontaminate.py pins the case)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -77,7 +83,7 @@ def gram_hash_array_udf(n: int):
             return pd.Series([], dtype=object)
         flat, off = hashing.split_hash_batch(texts)
         lens = np.diff(off)
-        grams, go = hashing.batch_shingle_seq(flat, off, n)
+        grams, go = hashing.batch_shingle_seq(flat, off, n, mixed=True)
         sets, so = hashing.batch_unique_sets(grams, go)
         out = np.split(sets.view(np.int64), so[1:-1])
         # shingle kernels clamp 0 < len < n docs to one whole-doc gram;

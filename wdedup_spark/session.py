@@ -77,12 +77,11 @@ def spark_session(
         # 64k and the behavior is identical (scale-adaptive by the
         # formula itself, not a local[32] constant)
         .config("spark.sql.files.openCostInBytes", "64k")
-        # AQE coalesce floor (r6), same reasoning post-shuffle: the 1m
-        # default folds a CPU-heavy few-MB shuffle stage (candidate
-        # verify, Python kernels) onto 2-3 cores; 64k keeps parallelism
-        # when bytes/task are small, and is a no-op once real data makes
-        # bytes/parallelism exceed it
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # (r6: an AQE coalesce floor of 64k was tried for the same
+        # post-shuffle reason and REVERTED — A/B at sf1.0 showed it
+        # hurting the heavy pair-join queries (cosine 19.2 s vs 9.7 s
+        # without it) and every other delta was inside this host's
+        # window noise; the default stays)
         # local mode: driver JVM is the executor; a small heap at high
         # thread counts GC-thrashes (measured: 48g halves the sign stage
         # at 32 threads vs 16g)
