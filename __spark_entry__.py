@@ -799,14 +799,30 @@ def q_incremental_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _fan(_t(spark, sf_dir, "documents"))
-    # exact-first: the channel's distinct-text precondition
-    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # exact-first: the channel's distinct-text precondition.  Pinned
+    # eagerly (r6): the corpus-wide text groupBy feeds BOTH day chains
+    # and cross_prefix_edges — three separate jobs that would each
+    # recompute it (no cross-job exchange reuse); one checkpoint makes
+    # it one computation.
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).localCheckpoint(
+        eager=True
+    )
     day0 = reps.filter(F.pmod(F.col("doc_id"), F.lit(5)) < 3)
     day1 = reps.filter(F.pmod(F.col("doc_id"), F.lit(5)) >= 3)
-    runs = []
-    for day in (day0, day1):
+
+    # The two per-day chains (range-sort checkpoint → bounds checkpoint)
+    # are independent; their four eager actions ran strictly one after
+    # another.  Overlapping them from driver threads (guide §2.6) lets
+    # day 1's exchange back-fill day 0's stragglers — the chains' DAGs
+    # and the committed runs they pin are unchanged.
+    def _chain(day: DataFrame) -> tuple[DataFrame, DataFrame]:
         c = sorted_corpus(day, "text", "doc_id").localCheckpoint(eager=True)
-        runs.append((c, corpus_bounds(c).localCheckpoint(eager=True)))
+        return (c, corpus_bounds(c).localCheckpoint(eager=True))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        runs = list(pool.map(_chain, (day0, day1)))
     edges = (
         edges_from_sorted(*runs[0])
         .unionByName(edges_from_sorted(*runs[1]))

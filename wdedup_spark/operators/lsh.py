@@ -224,6 +224,115 @@ def candidate_pairs(
     return pairs.select(F.col("a").alias("conv_a"), F.col("b").alias("conv_b"))
 
 
+def candidate_pairs_multi(
+    banded: DataFrame,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    oversize_policy: str = "star",
+    min_collisions: dict[int, int] | None = None,
+    new_col: str | None = None,
+    channel_col: str = "ch",
+) -> DataFrame:
+    """Multi-channel ``candidate_pairs`` (r6): ``banded`` carries a
+    channel tag (``channel_col``, a narrow integer — guide §2.3) and the
+    bucket machinery is keyed per (channel, band, bucket), so every
+    channel behaves EXACTLY like its own ``candidate_pairs`` call — same
+    per-bucket size gate, same star economy, same incremental anchor —
+    but all channels share ONE window exchange and ONE self-join instead
+    of one of each per channel (the pipeline's candidate stage ran three).
+
+    ``min_collisions``: per-channel collision floor (missing channels
+    default to 1).  Collisions are counted per (channel, a, b) — a pair's
+    band hits in one channel never count toward another channel's floor,
+    exactly as with separate calls.  Star edges bypass the floor per
+    channel, as before.
+
+    Output: (``channel_col``, conv_a, conv_b) — deduped per (channel,
+    pair) by the collision-count aggregate (callers that union channels
+    into a per-pair tag set aggregate on (a, b) anyway, where this
+    matters not at all).
+    """
+    mc = min_collisions or {}
+    keys = [channel_col, "band", "bucket"]
+
+    def _expand(rows: DataFrame) -> DataFrame:
+        lcols = [*[F.col(k) for k in keys], F.col("id").alias("_ida")]
+        rcols = [*[F.col(k) for k in keys], F.col("id").alias("_idb")]
+        if new_col:
+            lcols.append(F.col(new_col).alias("_na"))
+            rcols.append(F.col(new_col).alias("_nb"))
+        # same shuffle_hash rationale as candidate_pairs: size estimates
+        # through the Python signature UDFs are garbage; both sides are
+        # the SAME subtree, so the second exchange is a ReusedExchange
+        p = (
+            rows.select(*lcols)
+            .hint("shuffle_hash")
+            .join(rows.select(*rcols), keys)
+            .filter(F.col("_ida") < F.col("_idb"))
+        )
+        if new_col:
+            p = p.filter(F.col("_na") | F.col("_nb"))
+        return p.select(channel_col, F.col("_ida").alias("a"), F.col("_idb").alias("b"))
+
+    if oversize_policy == "all":
+        pairs_small = _expand(banded)
+        big_rows = None
+    else:
+        w = Window.partitionBy(*keys)
+        extra_cols = []
+        if new_col:
+            extra_cols = [
+                new_col,
+                F.coalesce(
+                    F.min(F.when(~F.col(new_col), F.col("id"))).over(w),
+                    F.min(F.when(F.col(new_col), F.col("id"))).over(w),
+                ).alias("anchor"),
+            ]
+        counted = banded.select(
+            *keys,
+            "id",
+            *extra_cols,
+            F.count(F.lit(1)).over(w).alias("m"),
+            F.min("id").over(w).alias("min_id"),
+        ).filter(F.col("m") > 1)
+        small = counted.filter(F.col("m") <= max_bucket)
+        pairs_small = _expand(small)
+        big_rows = counted.filter(F.col("m") > max_bucket)
+
+    # per-channel collision floor as ONE aggregate + CASE threshold (the
+    # count also dedups cross-band repeats of a pair within its channel)
+    thr = F.lit(1)
+    for ch_val, floor in mc.items():
+        thr = F.when(F.col(channel_col) == F.lit(ch_val), F.lit(floor)).otherwise(thr)
+    pairs_small = (
+        pairs_small.groupBy(channel_col, "a", "b")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") >= thr)
+        .select(channel_col, "a", "b")
+    )
+
+    if oversize_policy == "star" and big_rows is not None:
+        if new_col:
+            pairs_big = (
+                big_rows.filter(F.col(new_col) & (F.col("id") != F.col("anchor")))
+                .select(
+                    channel_col,
+                    F.least("anchor", "id").alias("a"),
+                    F.greatest("anchor", "id").alias("b"),
+                )
+            )
+        else:
+            pairs_big = big_rows.filter(F.col("id") != F.col("min_id")).select(
+                channel_col, F.col("min_id").alias("a"), F.col("id").alias("b")
+            )
+        pairs = pairs_small.unionByName(pairs_big)
+    else:
+        pairs = pairs_small
+
+    return pairs.select(
+        channel_col, F.col("a").alias("conv_a"), F.col("b").alias("conv_b")
+    )
+
+
 def minhash_lsh_candidates(
     signed: DataFrame,
     id_col: str = "conv_id",

@@ -41,7 +41,6 @@ from wdedup_spark.operators.cluster import cluster_assignments, incremental_upda
 from wdedup_spark.operators.exact import add_fingerprint
 from wdedup_spark.operators.minhash import add_signatures
 from wdedup_spark.operators.simhash import simhash_chunks
-from wdedup_spark.operators.lsh import candidate_pairs as _candidate_pairs
 from wdedup_spark.operators.substring import common_run_udf
 from wdedup_spark.sources.ledger import StageLedger
 
@@ -114,52 +113,83 @@ def build_candidates(
     ``new_col``: incremental mode — ``signed`` carries a boolean batch
     flag, every channel passes it through its banding
     (band_buckets/simhash_chunks passthrough) and only pairs touching a
-    flagged id are generated (lsh.candidate_pairs new_col).  This is what
-    keeps a daily increment O(new × bucket): old ids are re-BANDED (one
-    narrow JVM scan of the committed sign table — no Python, no
-    re-signing) but never re-PAIRED among themselves."""
-    from wdedup_spark.operators.lsh import band_buckets
+    flagged id are generated (lsh.candidate_pairs_multi new_col).  This
+    is what keeps a daily increment O(new × bucket): old ids are
+    re-BANDED (one narrow JVM scan of the committed sign table — no
+    Python, no re-signing) but never re-PAIRED among themselves.
 
+    Shape (r6): the three channels' banded streams are unioned under a
+    tinyint channel tag and expanded by ONE ``candidate_pairs_multi``
+    pass — one window exchange + one self-join for all channels instead
+    of one of each per channel (guide §2.4; same per-channel gating,
+    floors and star economy — equivalence pinned in
+    tests/test_build_candidates_equiv.py).  The simhash Hamming verify
+    is a linear join+filter over the tagged pair stream (rows of other
+    channels pass the filter untouched) rather than a branch — a
+    branched plan would let the channel-tag filters push back down the
+    union and undo the merge."""
+    from wdedup_spark.operators.lsh import band_buckets, candidate_pairs_multi
+
+    CH_MINHASH, CH_SIMHASH, CH_SUBSTRING = 0, 1, 2
+    ch_names = ["minhash", "simhash", "substring"]
     passthrough = [new_col] if new_col else None
-    banded = band_buckets(
-        signed, "sig", "conv_id", cfg.n_bands, cfg.n_perms, passthrough=passthrough
-    )
-    cands = _candidate_pairs(
-        banded, cfg.max_bucket, cfg.oversize_policy,
-        min_collisions=cfg.min_band_collisions, dedup=False, new_col=new_col,
-    ).withColumn("via", F.lit("minhash"))
+    cols = ["band", "bucket", "id", *(passthrough or [])]
+
+    def tag(df: DataFrame, ch: int) -> DataFrame:
+        return df.select(F.lit(ch).cast("tinyint").alias("ch"), *cols)
+
+    streams = [
+        tag(
+            band_buckets(
+                signed, "sig", "conv_id", cfg.n_bands, cfg.n_perms,
+                passthrough=passthrough,
+            ),
+            CH_MINHASH,
+        )
+    ]
     if cfg.enable_simhash:
-        sim_banded = simhash_chunks(
-            signed, "simhash", "conv_id", cfg.max_hamming, passthrough=passthrough
-        )
-        sim_cands = _candidate_pairs(
-            sim_banded, cfg.max_bucket, cfg.oversize_policy, dedup=False,
-            new_col=new_col,
-        )
-        sigs = signed.select(F.col("conv_id").alias("id"), "simhash")
-        sim_cands = (
-            sim_cands.join(
-                sigs.select(F.col("id").alias("conv_a"), F.col("simhash").alias("sh_a")), "conv_a"
+        streams.append(
+            tag(
+                simhash_chunks(
+                    signed, "simhash", "conv_id", cfg.max_hamming,
+                    passthrough=passthrough,
+                ),
+                CH_SIMHASH,
             )
-            .join(sigs.select(F.col("id").alias("conv_b"), F.col("simhash").alias("sh_b")), "conv_b")
-            .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= cfg.max_hamming)
-            .select("conv_a", "conv_b")
-            .withColumn("via", F.lit("simhash"))
         )
-        cands = cands.unionByName(sim_cands)
     if cfg.enable_substring:
         anchored = signed.select(
             F.col("conv_id").alias("id"),
             *( [new_col] if new_col else [] ),
             F.explode("anchors").alias("bucket"),
         ).withColumn("band", F.lit(0))
-        sub_cands = _candidate_pairs(
-            anchored.select("band", "bucket", "id", *( [new_col] if new_col else [] )),
-            cfg.max_bucket, cfg.oversize_policy, dedup=False, new_col=new_col,
-        ).withColumn("via", F.lit("substring"))
-        cands = cands.unionByName(sub_cands)
-    return cands.groupBy("conv_a", "conv_b").agg(
-        F.sort_array(F.collect_set("via")).alias("via")
+        streams.append(tag(anchored, CH_SUBSTRING))
+    banded = streams[0]
+    for s in streams[1:]:
+        banded = banded.unionByName(s)
+
+    cands = candidate_pairs_multi(
+        banded, cfg.max_bucket, cfg.oversize_policy,
+        min_collisions={CH_MINHASH: cfg.min_band_collisions}, new_col=new_col,
+    )
+    if cfg.enable_simhash:
+        sigs = signed.select(F.col("conv_id").alias("id"), "simhash")
+        cands = (
+            cands.join(
+                sigs.select(F.col("id").alias("conv_a"), F.col("simhash").alias("sh_a")), "conv_a"
+            )
+            .join(sigs.select(F.col("id").alias("conv_b"), F.col("simhash").alias("sh_b")), "conv_b")
+            .filter(
+                (F.col("ch") != F.lit(CH_SIMHASH))
+                | (F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= cfg.max_hamming)
+            )
+            .select("ch", "conv_a", "conv_b")
+        )
+    via = F.element_at(F.array(*[F.lit(n) for n in ch_names]), F.col("ch") + 1)
+    return (
+        cands.withColumn("via", via)
+        .groupBy("conv_a", "conv_b")
+        .agg(F.sort_array(F.collect_set("via")).alias("via"))
     )
 
 
