@@ -228,7 +228,6 @@ def candidate_pairs_multi(
     banded: DataFrame,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     oversize_policy: str = "star",
-    min_collisions: dict[int, int] | None = None,
     new_col: str | None = None,
     channel_col: str = "ch",
 ) -> DataFrame:
@@ -240,18 +239,16 @@ def candidate_pairs_multi(
     but all channels share ONE window exchange and ONE self-join instead
     of one of each per channel (the pipeline's candidate stage ran three).
 
-    ``min_collisions``: per-channel collision floor (missing channels
-    default to 1).  Collisions are counted per (channel, a, b) — a pair's
-    band hits in one channel never count toward another channel's floor,
-    exactly as with separate calls.  Star edges bypass the floor per
-    channel, as before.
-
-    Output: (``channel_col``, conv_a, conv_b) — deduped per (channel,
-    pair) by the collision-count aggregate (callers that union channels
-    into a per-pair tag set aggregate on (a, b) anyway, where this
-    matters not at all).
+    Output: RAW collision rows ``(channel_col, conv_a, conv_b, is_star)``
+    — one row per within-bucket collision (so a pair colliding in k of a
+    channel's buckets appears k times) plus one flagged row per star
+    edge.  No aggregation happens here: the caller owns the per-channel
+    collision floors and the per-pair tag set, and folding both into its
+    ONE groupBy(a, b) (build_candidates) is exactly one exchange cheaper
+    than aggregating per (channel, a, b) first.  Bounds are unchanged:
+    the window size gate still runs before the join, so the raw stream
+    carries at most Σ m·(m−1)/2 rows over gated buckets plus star edges.
     """
-    mc = min_collisions or {}
     keys = [channel_col, "band", "bucket"]
 
     def _expand(rows: DataFrame) -> DataFrame:
@@ -298,17 +295,7 @@ def candidate_pairs_multi(
         pairs_small = _expand(small)
         big_rows = counted.filter(F.col("m") > max_bucket)
 
-    # per-channel collision floor as ONE aggregate + CASE threshold (the
-    # count also dedups cross-band repeats of a pair within its channel)
-    thr = F.lit(1)
-    for ch_val, floor in mc.items():
-        thr = F.when(F.col(channel_col) == F.lit(ch_val), F.lit(floor)).otherwise(thr)
-    pairs_small = (
-        pairs_small.groupBy(channel_col, "a", "b")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-        .filter(F.col("_hits") >= thr)
-        .select(channel_col, "a", "b")
-    )
+    pairs = pairs_small.withColumn("is_star", F.lit(False))
 
     if oversize_policy == "star" and big_rows is not None:
         if new_col:
@@ -324,12 +311,10 @@ def candidate_pairs_multi(
             pairs_big = big_rows.filter(F.col("id") != F.col("min_id")).select(
                 channel_col, F.col("min_id").alias("a"), F.col("id").alias("b")
             )
-        pairs = pairs_small.unionByName(pairs_big)
-    else:
-        pairs = pairs_small
+        pairs = pairs.unionByName(pairs_big.withColumn("is_star", F.lit(True)))
 
     return pairs.select(
-        channel_col, F.col("a").alias("conv_a"), F.col("b").alias("conv_b")
+        channel_col, F.col("a").alias("conv_a"), F.col("b").alias("conv_b"), "is_star"
     )
 
 

@@ -123,11 +123,16 @@ def build_candidates(
     pass — one window exchange + one self-join for all channels instead
     of one of each per channel (guide §2.4; same per-channel gating,
     floors and star economy — equivalence pinned in
-    tests/test_build_candidates_equiv.py).  The simhash Hamming verify
-    is a linear join+filter over the tagged pair stream (rows of other
-    channels pass the filter untouched) rather than a branch — a
-    branched plan would let the channel-tag filters push back down the
-    union and undo the merge."""
+    tests/test_build_candidates_equiv.py).  The raw collision/star rows
+    then fold into ONE groupBy(conv_a, conv_b) carrying per-channel hit
+    counts and star flags — the per-(channel, pair) floor aggregate and
+    the final per-pair tag-set aggregate used to be two exchanges; the
+    CASE floors and the via array are evaluated on the single
+    aggregate's output instead.  The simhash Hamming verify is a linear
+    join+filter over that per-pair stream (rows of other channels pass
+    the filter untouched) rather than a branch — a branched plan would
+    let the channel-tag filters push back down the union and undo the
+    merge."""
     from wdedup_spark.operators.lsh import band_buckets, candidate_pairs_multi
 
     CH_MINHASH, CH_SIMHASH, CH_SUBSTRING = 0, 1, 2
@@ -168,28 +173,53 @@ def build_candidates(
     for s in streams[1:]:
         banded = banded.unionByName(s)
 
-    cands = candidate_pairs_multi(
-        banded, cfg.max_bucket, cfg.oversize_policy,
-        min_collisions={CH_MINHASH: cfg.min_band_collisions}, new_col=new_col,
+    raw = candidate_pairs_multi(
+        banded, cfg.max_bucket, cfg.oversize_policy, new_col=new_col,
     )
+
+    def _ch(c: int):
+        return F.col("ch") == F.lit(c)
+
+    agg = raw.groupBy("conv_a", "conv_b").agg(
+        *[
+            x
+            for c, nm in enumerate(ch_names)
+            for x in (
+                F.count(F.when(_ch(c) & ~F.col("is_star"), F.lit(1))).alias(f"_h{c}"),
+                F.max(F.when(_ch(c), F.col("is_star"))).alias(f"_s{c}"),
+            )
+        ]
+    )
+    # per-channel pass condition: collision floor (minhash: >= 2 of 32
+    # bands; others: >= 1) OR a star edge, which bypasses the floor —
+    # identical to the per-channel candidate_pairs semantics
+    passes = [
+        (F.col("_h0") >= cfg.min_band_collisions) | F.coalesce("_s0", F.lit(False)),
+        (F.col("_h1") >= 1) | F.coalesce("_s1", F.lit(False)),
+        (F.col("_h2") >= 1) | F.coalesce("_s2", F.lit(False)),
+    ]
     if cfg.enable_simhash:
+        # Hamming verify applies to EVERY simhash pair, star edges
+        # included (exactly as the old per-channel shape, where the sigs
+        # join ran after the star union)
         sigs = signed.select(F.col("conv_id").alias("id"), "simhash")
-        cands = (
-            cands.join(
-                sigs.select(F.col("id").alias("conv_a"), F.col("simhash").alias("sh_a")), "conv_a"
-            )
-            .join(sigs.select(F.col("id").alias("conv_b"), F.col("simhash").alias("sh_b")), "conv_b")
-            .filter(
-                (F.col("ch") != F.lit(CH_SIMHASH))
-                | (F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= cfg.max_hamming)
-            )
-            .select("ch", "conv_a", "conv_b")
+        agg = agg.join(
+            sigs.select(F.col("id").alias("conv_a"), F.col("simhash").alias("sh_a")), "conv_a"
+        ).join(
+            sigs.select(F.col("id").alias("conv_b"), F.col("simhash").alias("sh_b")), "conv_b"
         )
-    via = F.element_at(F.array(*[F.lit(n) for n in ch_names]), F.col("ch") + 1)
+        passes[CH_SIMHASH] = passes[CH_SIMHASH] & (
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= cfg.max_hamming
+        )
+    # ch_names is lexically ordered, so this conditional array IS the
+    # sorted tag set the old sort_array(collect_set(via)) produced
+    via = F.filter(
+        F.array(*[F.when(p, F.lit(nm)) for nm, p in zip(ch_names, passes)]),
+        lambda x: x.isNotNull(),
+    )
     return (
-        cands.withColumn("via", via)
-        .groupBy("conv_a", "conv_b")
-        .agg(F.sort_array(F.collect_set("via")).alias("via"))
+        agg.select("conv_a", "conv_b", via.alias("via"))
+        .filter(F.size("via") > 0)
     )
 
 
