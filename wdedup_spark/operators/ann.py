@@ -429,7 +429,8 @@ def lsh_cosine_pairs_sparse(
     if n_tables * (1 << n_bits) > 2**31 - 1:
         raise ValueError(
             f"n_tables={n_tables} × 2^{n_bits} buckets overflow the packed "
-            "int32 bucket key — widen the packing before raising n_bits past 23"
+            "int32 bucket key (requires n_tables · 2^n_bits <= 2^31 − 1) — "
+            "shrink the geometry or widen the packing to long"
         )
     # table index packed into the bucket key (r6, guide §2.3): a table's
     # key is < 2^n_bits, so (table << n_bits) | key is injective — the

@@ -248,6 +248,15 @@ def candidate_pairs_multi(
     than aggregating per (channel, a, b) first.  Bounds are unchanged:
     the window size gate still runs before the join, so the raw stream
     carries at most Σ m·(m−1)/2 rows over gated buckets plus star edges.
+
+    KEEP IN SYNC with ``candidate_pairs`` above: the window gate, the
+    ``_expand`` self-join (shuffle_hash rationale), and the star/anchor
+    logic are deliberately the same machinery with a channel key column
+    added — a fix to either copy (e.g. the incremental anchor coalesce)
+    almost certainly applies to both.  ``candidate_pairs`` stays
+    separate because its single-channel callers (simhash_candidates,
+    minhash_lsh_candidates, the cosine operators) have plan-pinned
+    shapes a constant channel column would perturb for zero gain.
     """
     keys = [channel_col, "band", "bucket"]
 

@@ -198,6 +198,13 @@ def build_candidates(
         (F.col("_h1") >= 1) | F.coalesce("_s1", F.lit(False)),
         (F.col("_h2") >= 1) | F.coalesce("_s2", F.lit(False)),
     ]
+    # drop pairs failing every pre-Hamming condition BEFORE the sigs
+    # joins (review): the Hamming check only narrows the simhash
+    # channel, so such pairs — e.g. single-band LSH noise under the
+    # minhash floor, which the old per-channel shape discarded before
+    # any join — are doomed regardless and must not ride through two
+    # join shuffles to die at the final size(via) filter
+    agg = agg.filter(passes[0] | passes[1] | passes[2])
     if cfg.enable_simhash:
         # Hamming verify applies to EVERY simhash pair, star edges
         # included (exactly as the old per-channel shape, where the sigs
